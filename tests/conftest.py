@@ -1,0 +1,23 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding tests run
+without TPU hardware.
+
+The environment boots an ``axon`` TPU backend from sitecustomize and its
+``register()`` sets ``jax_platforms="axon,cpu"`` programmatically, so the
+JAX_PLATFORMS env var alone is not enough — override the config after
+import as well.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
