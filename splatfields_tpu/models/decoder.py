@@ -1,0 +1,216 @@
+"""Time-conditioned VAE-style CNN decoder (flax, NHWC).
+
+The generative plane decoder of SplatFields — the paper's CNN spatial-bias
+prior. Parity target: reference ``scene/time_decoders.py`` (TimeVAEDecoder,
+built from diffusers-0.21.4 blocks):
+
+- conv_in 3x3 -> mid block (resnet, single-head spatial attention, resnet)
+  -> ``len(block_out_channels)`` up blocks of (layers_per_block + 1) resnets
+  with a nearest-2x + conv3x3 upsample on all but the final block ->
+  GroupNorm/SiLU/conv_out (``TimeDecoder.forward``, :528-580).
+- Resnet block: GN(eps 1e-6) -> SiLU -> conv1 -> GN -> SiLU -> conv2, with a
+  1x1 shortcut when channels change (``TimeResnetBlock2D``, :53-250);
+  temb is never used in this decoder (temb_channels=None).
+- Temporal conditioning: with ``strategy='per_frame'`` every 3x3 conv keeps
+  per-frame weight deltas initialized to 0.01 x the shared kernel and adds
+  the selected frame's delta at lookup (``TimeLoRACompatibleConv``, :21-50).
+- Init: kaiming-normal(fan_out) convs, GroupNorm ones/zeros, zero-init on
+  every resnet conv2 and on the attention output projection
+  (``TimeVAEDecoder.init_weights``, :611-625).
+
+Note: with 4 up blocks the final block has no upsampler, so the spatial
+upsampling factor is 8 (20x20 noise -> 160x160 planes). The reference's
+"320" comments (``scene/tripFields.py:203``) are stale — its own decoder
+also upsamples 8x for this config.
+
+TPU notes: convs run in NHWC (XLA's preferred layout) and the 20x20
+mid-block attention is one small fused matmul pair. The whole decoder is
+N-independent — it runs once per training step regardless of splat count
+(SURVEY hard-part 5).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from splatfields_tpu.models.initializers import (
+    kaiming_normal_conv,
+    normal_scaled,
+    torch_linear_bias,
+    torch_linear_weight,
+    zeros_init,
+)
+
+
+class TimeConv(nn.Module):
+    """3x3 (or 1x1) conv with optional per-frame weight deltas."""
+    features: int
+    kernel: int = 3
+    n_frames: int = 0
+    strategy: str = "none"   # 'none' | 'per_frame'
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x, frame_id=None):
+        in_ch = x.shape[-1]
+        kinit = zeros_init if self.zero_init else kaiming_normal_conv
+        kernel = self.param(
+            "kernel", kinit, (self.kernel, self.kernel, in_ch, self.features))
+        bias = self.param("bias", zeros_init, (self.features,))
+        if self.strategy == "per_frame" and self.n_frames > 1:
+            # init = 0.01 * shared kernel, replicated per frame (reference
+            # time_decoders.py:30-32). Implemented as an init-time transform
+            # of the already-initialized shared kernel is not expressible in
+            # flax param init, so initialize with the same distribution
+            # scaled by 0.01 — statistically identical for kaiming-normal.
+            scale = 0.0 if self.zero_init else 0.01
+            fw_init = (zeros_init if self.zero_init
+                       else normal_scaled(scale * float(jnp.sqrt(
+                           2.0 / (self.kernel * self.kernel * self.features)))))
+            frame_w = self.param(
+                "frame_weights", fw_init,
+                (self.n_frames, self.kernel, self.kernel, in_ch, self.features))
+            if frame_id is not None:
+                kernel = kernel + frame_w[frame_id]
+        pad = self.kernel // 2
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    n_frames: int = 0
+    strategy: str = "none"
+
+    @nn.compact
+    def __call__(self, x, frame_id=None):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="norm1")(x)
+        h = jax.nn.silu(h)
+        h = TimeConv(self.out_channels, 3, self.n_frames, self.strategy,
+                     name="conv1")(h, frame_id)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         name="norm2")(h)
+        h = jax.nn.silu(h)
+        h = TimeConv(self.out_channels, 3, self.n_frames, self.strategy,
+                     zero_init=True, name="conv2")(h, frame_id)
+        if in_ch != self.out_channels:
+            x = TimeConv(self.out_channels, 1, self.n_frames, self.strategy,
+                         name="conv_shortcut")(x, frame_id)
+        return x + h
+
+
+class SpatialAttention(nn.Module):
+    """Single-head spatial self-attention over H*W tokens (diffusers
+    ``Attention`` in deprecated-attn-block mode: GN -> qkv -> softmax(f32)
+    -> zero-init out -> +residual)."""
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        res = x
+        hstates = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                               name="group_norm")(x)
+        tokens = hstates.reshape(b, h * w, c)
+        q = nn.Dense(c, kernel_init=torch_linear_weight,
+                     bias_init=torch_linear_bias(c), name="to_q")(tokens)
+        k = nn.Dense(c, kernel_init=torch_linear_weight,
+                     bias_init=torch_linear_bias(c), name="to_k")(tokens)
+        v = nn.Dense(c, kernel_init=torch_linear_weight,
+                     bias_init=torch_linear_bias(c), name="to_v")(tokens)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+        attn = jnp.einsum("bqc,bkc->bqk", q, k, precision="highest") * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", attn, v, precision="highest")
+        out = nn.Dense(c, kernel_init=zeros_init, bias_init=zeros_init,
+                       name="to_out")(out)
+        return res + out.reshape(b, h, w, c)
+
+
+class Upsample2x(nn.Module):
+    """Nearest-neighbor 2x + conv3x3 (diffusers Upsample2D use_conv=True)."""
+    features: int
+    n_frames: int = 0
+    strategy: str = "none"
+
+    @nn.compact
+    def __call__(self, x, frame_id=None):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return TimeConv(self.features, 3, self.n_frames, self.strategy,
+                        name="conv")(x, frame_id)
+
+
+class TimeVAEDecoder(nn.Module):
+    """Noise [B, h, w, in_ch] -> planes [B, 8h, 8w, out_ch]."""
+    in_channels: int = 8
+    out_channels: int = 16
+    block_out_channels: Sequence[int] = (32, 32, 32, 32)
+    layers_per_block: int = 1
+    norm_num_groups: int = 32
+    n_frames: int = 0
+    strategy: str = "none"
+
+    @nn.compact
+    def __call__(self, z, frame_id=None):
+        tc = dict(n_frames=self.n_frames, strategy=self.strategy)
+        ch_last = self.block_out_channels[-1]
+        x = TimeConv(ch_last, 3, name="conv_in", **tc)(z, frame_id)
+
+        # mid block: resnet -> attention -> resnet
+        x = ResnetBlock(ch_last, self.norm_num_groups, name="mid_res0", **tc)(
+            x, frame_id)
+        x = SpatialAttention(ch_last, self.norm_num_groups, name="mid_attn")(x)
+        x = ResnetBlock(ch_last, self.norm_num_groups, name="mid_res1", **tc)(
+            x, frame_id)
+
+        rev = list(reversed(self.block_out_channels))
+        n_blocks = len(self.block_out_channels)
+        for i in range(n_blocks):
+            out_ch = rev[i]
+            for j in range(self.layers_per_block + 1):
+                x = ResnetBlock(out_ch, self.norm_num_groups,
+                                name=f"up{i}_res{j}", **tc)(x, frame_id)
+            if i != n_blocks - 1:
+                x = Upsample2x(out_ch, name=f"up{i}_upsample", **tc)(x, frame_id)
+
+        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+                         name="conv_norm_out")(x)
+        x = jax.nn.silu(x)
+        x = TimeConv(self.out_channels, 3, name="conv_out", **tc)(x, frame_id)
+        return x
+
+
+class Tensorial2D(nn.Module):
+    """Frozen-noise plane generator (reference ``scene/tripFields.py:176-204``):
+    a fixed N(0,1) [noise_res, noise_res, noise_ch] buffer decoded by
+    TimeVAEDecoder into a feature plane every forward."""
+    noise_ch: int = 8
+    out_ch: int = 16
+    noise_res: int = 20
+    n_frames: int = 0
+    strategy: str = "none"
+
+    @nn.compact
+    def __call__(self, frame_id=None):
+        noise = self.variable(
+            "buffers", "noise",
+            lambda: jax.random.normal(
+                self.make_rng("params"),
+                (1, self.noise_res, self.noise_res, self.noise_ch)),
+        )
+        net = TimeVAEDecoder(
+            in_channels=self.noise_ch, out_channels=self.out_ch,
+            n_frames=self.n_frames, strategy=self.strategy, name="net")
+        return net(noise.value, frame_id)  # [1, 8r, 8r, out_ch]

@@ -1,0 +1,322 @@
+"""Field network tests: GeneralMLP quirks, ResFieldLinear math vs the
+reference formula, decoder shapes/init, flow heads, full SplatFields."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from splatfields_tpu.models.decoder import Tensorial2D, TimeVAEDecoder
+from splatfields_tpu.models.encoders import (
+    HashGridEncoder, NGPMLP, TriPlaneEncoder, VarTriPlaneEncoder)
+from splatfields_tpu.models.flow import FlowHead, init_dct_basis
+from splatfields_tpu.models.mlp import GeneralMLP, positional_embed
+from splatfields_tpu.models.resfields import ResFieldLinear
+from splatfields_tpu.models.splatfields import SplatFields
+
+
+class TestEmbedder:
+    def test_dims_and_order(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(5, 3).astype(np.float32))
+        out = positional_embed(x, 6)
+        assert out.shape == (5, 3 * 13)
+        np.testing.assert_allclose(np.asarray(out[:, :3]), np.asarray(x))
+        # first octave: sin(x), cos(x)
+        np.testing.assert_allclose(np.asarray(out[:, 3:6]),
+                                   np.sin(np.asarray(x)), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, 6:9]),
+                                   np.cos(np.asarray(x)), atol=1e-6)
+        # last octave frequency 2^5
+        np.testing.assert_allclose(np.asarray(out[:, -6:-3]),
+                                   np.sin(32 * np.asarray(x)), atol=1e-5)
+
+    def test_multires_zero_identity(self):
+        x = jnp.ones((4, 7))
+        assert positional_embed(x, 0) is x
+
+
+class TestResFieldLinear:
+    def test_rank0_is_plain_linear(self):
+        m = ResFieldLinear(in_features=8, out_features=4, rank=0, capacity=0)
+        x = jnp.asarray(np.random.RandomState(1).randn(10, 8).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        w = np.asarray(v["params"]["weight"])
+        b = np.asarray(v["params"]["bias"])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ w + b,
+                                   atol=1e-5)
+
+    def test_vm_lookup_matches_reference_formula(self):
+        m = ResFieldLinear(in_features=6, out_features=5, rank=3, capacity=7)
+        x = jnp.asarray(np.random.RandomState(2).randn(10, 6).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(1), x, frame_id=jnp.asarray(2))
+        y = np.asarray(m.apply(v, x, frame_id=jnp.asarray(2)))
+        W = np.asarray(v["params"]["weight"])       # [in, out]
+        b = np.asarray(v["params"]["bias"])
+        wt = np.asarray(v["params"]["weights_t"])   # [C, R]
+        mt = np.asarray(v["params"]["matrix_t"])    # [R, out*in]
+        # reference: delta = (w_t[f] @ M).reshape(out, in); y = x (W+d)^T + b
+        delta = (wt[2] @ mt).reshape(5, 6)
+        expect = np.asarray(x) @ (W + delta.T) + b
+        np.testing.assert_allclose(y, expect, atol=1e-5)
+
+    def test_interpolation_mode(self):
+        m = ResFieldLinear(in_features=4, out_features=3, rank=2, capacity=5,
+                           mode="interpolation")
+        x = jnp.ones((6, 4))
+        t = jnp.linspace(-1, 1, 6)
+        v = m.init(jax.random.PRNGKey(2), x, input_time=t)
+        y = m.apply(v, x, input_time=t)
+        assert y.shape == (6, 3)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_unsupported_compression_raises(self):
+        m = ResFieldLinear(in_features=4, out_features=3, rank=2, capacity=5,
+                           compression="tucker")
+        with pytest.raises(NotImplementedError):
+            m.init(jax.random.PRNGKey(0), jnp.ones((2, 4)))
+
+
+class TestGeneralMLP:
+    def test_shapes_with_skips(self):
+        m = GeneralMLP(in_features=3, out_features=3, hidden_features=32,
+                       num_hidden_layers=6, skips=(3,), multires=6,
+                       out_activation="none", act="leaky_relu",
+                       composition_rank=0, n_frames=0)
+        x = jnp.asarray(np.random.RandomState(3).randn(17, 3).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(3), x)
+        y = m.apply(v, x)
+        assert y.shape == (17, 3)
+
+    def test_feat_concat(self):
+        m = GeneralMLP(in_features=3 + 10, out_features=4, hidden_features=16,
+                       num_hidden_layers=3, skips=(1,), multires=4,
+                       out_activation="sigmoid", act="leaky_relu")
+        x = jnp.ones((5, 3))
+        feat = jnp.ones((5, 10))
+        v = m.init(jax.random.PRNGKey(4), x, xyz_feat=feat)
+        y = m.apply(v, x, xyz_feat=feat)
+        assert y.shape == (5, 4)
+        assert (np.asarray(y) >= 0).all() and (np.asarray(y) <= 1).all()
+
+    def test_last_layer_leaky_relu_quirk(self):
+        # out_activation='none' still passes through leaky_relu: strong
+        # negatives are compressed by 0.01 (reference :184-190)
+        m = GeneralMLP(in_features=3, out_features=64, hidden_features=64,
+                       num_hidden_layers=2, skips=(), multires=0,
+                       out_activation="none", act="leaky_relu")
+        x = jnp.asarray(np.random.RandomState(5).randn(200, 3).astype(np.float32) * 3)
+        v = m.init(jax.random.PRNGKey(5), x)
+        y = np.asarray(m.apply(v, x))
+        assert y.min() < 0  # leaky, not relu
+        assert abs(y.min()) < 0.05 * y.max()  # negatives squashed 100x
+
+    def test_resfield_ranks_on_inner_layers_only(self):
+        m = GeneralMLP(in_features=3, out_features=3, hidden_features=16,
+                       num_hidden_layers=4, skips=(), multires=2,
+                       composition_rank=5, n_frames=9)
+        x = jnp.ones((4, 3))
+        v = m.init(jax.random.PRNGKey(6), x, frame_id=jnp.asarray(0))
+        p = v["params"]
+        # net_0 (input), net_1 (created layer 0) and net_5 (output): no
+        # temporal params; net_2..net_4: weights_t present
+        assert "weights_t" not in p["net_0"]
+        assert "weights_t" not in p["net_1"]
+        assert "weights_t" in p["net_2"]
+        assert "weights_t" in p["net_4"]
+        assert "weights_t" not in p["net_5"]
+
+    def test_frame_changes_output_iff_rank(self):
+        x = jnp.asarray(np.random.RandomState(9).randn(4, 3).astype(np.float32))
+        m = GeneralMLP(in_features=3, out_features=3, hidden_features=16,
+                       num_hidden_layers=3, skips=(), multires=2,
+                       act="none", composition_rank=4, n_frames=5)
+        v = m.init(jax.random.PRNGKey(7), x, frame_id=jnp.asarray(0))
+        y0 = np.asarray(m.apply(v, x, frame_id=jnp.asarray(0)))
+        y1 = np.asarray(m.apply(v, x, frame_id=jnp.asarray(3)))
+        assert np.abs(y0 - y1).max() > 1e-6
+
+
+class TestDecoder:
+    def test_output_shape_8x(self):
+        m = TimeVAEDecoder()
+        z = jnp.asarray(np.random.RandomState(8).randn(1, 20, 20, 8).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(8), z)
+        y = m.apply(v, z)
+        assert y.shape == (1, 160, 160, 16)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_zero_init_residuals(self):
+        m = TimeVAEDecoder()
+        z = jnp.ones((1, 8, 8, 8))
+        v = m.init(jax.random.PRNGKey(9), z)
+        p = v["params"]
+        np.testing.assert_allclose(
+            np.asarray(p["mid_res0"]["conv2"]["kernel"]), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(p["mid_attn"]["to_out"]["kernel"]), 0.0)
+        np.testing.assert_allclose(
+            np.asarray(p["up2_res1"]["conv2"]["kernel"]), 0.0)
+
+    def test_per_frame_strategy(self):
+        m = TimeVAEDecoder(n_frames=4, strategy="per_frame",
+                           block_out_channels=(32, 32))
+        z = jnp.ones((1, 6, 6, 8))
+        v = m.init(jax.random.PRNGKey(10), z, frame_id=jnp.asarray(0))
+        y0 = np.asarray(m.apply(v, z, frame_id=jnp.asarray(0)))
+        y1 = np.asarray(m.apply(v, z, frame_id=jnp.asarray(2)))
+        assert y0.shape == (1, 12, 12, 16)
+        assert np.abs(y0 - y1).max() > 0  # frame deltas differentiate output
+
+    def test_tensorial2d_frozen_noise(self):
+        m = Tensorial2D(noise_res=8)
+        v = m.init(jax.random.PRNGKey(11))
+        y = m.apply(v, None)
+        assert y.shape == (1, 64, 64, 16)
+        assert "noise" in v["buffers"]
+
+
+class TestEncoders:
+    def test_triplane_out_dim(self):
+        m = TriPlaneEncoder(resolution=16, channels=4)
+        pts = jnp.asarray(np.random.RandomState(12).uniform(-1, 1, (9, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(12), pts)
+        y = m.apply(v, pts)
+        assert y.shape == (9, 12)
+
+    def test_var_triplane(self):
+        m = VarTriPlaneEncoder(noise_res=6)
+        pts = jnp.asarray(np.random.RandomState(13).uniform(-1, 1, (5, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(13), pts)
+        y = m.apply(v, pts)
+        assert y.shape == (5, 48)
+        # precomputed-planes path gives identical output
+        planes = m.apply(v, method=lambda mod: mod.planes(None))
+        y2 = m.apply(v, pts, planes=planes)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+
+    def test_hashgrid_interpolates(self):
+        m = HashGridEncoder(n_levels=4, log2_hashmap_size=10)
+        pts = jnp.asarray(np.random.RandomState(14).rand(20, 3).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(14), pts)
+        y = m.apply(v, pts)
+        assert y.shape == (20, 8)
+        # continuity: nearby points give nearby features
+        y2 = m.apply(v, pts + 1e-5)
+        assert np.abs(np.asarray(y) - np.asarray(y2)).max() < 1e-3
+
+    def test_ngp_mlp(self):
+        m = NGPMLP(out_features=16, n_levels=4, log2_hashmap_size=10)
+        pts = jnp.asarray(np.random.RandomState(15).uniform(-1, 1, (7, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(15), pts)
+        y = m.apply(v, pts)
+        assert y.shape == (7, 16)
+
+
+class TestFlowHead:
+    @pytest.mark.parametrize("fm", ["offset", "se3", "se3Affine", "se3Scaled",
+                                     "affine", "dct", "dct_siren"])
+    def test_variants(self, fm):
+        m = FlowHead(width=16, flow_model=fm, num_basis=4, n_frames=8)
+        hidden = jnp.asarray(np.random.RandomState(16).randn(6, 16).astype(np.float32))
+        pts = jnp.asarray(np.random.RandomState(17).randn(6, 3).astype(np.float32))
+        kw = dict(time_step=jnp.asarray(0.5), frame_id=jnp.asarray(3))
+        v = m.init(jax.random.PRNGKey(16), hidden, pts, **kw)
+        flow, moved = m.apply(v, hidden, pts, **kw)
+        assert flow.shape == (6, 3) and moved.shape == (6, 3)
+        assert np.isfinite(np.asarray(moved)).all()
+
+    def test_dct_zero_init(self):
+        m = FlowHead(width=16, flow_model="dct", num_basis=4, n_frames=8)
+        hidden = jnp.ones((6, 16))
+        pts = jnp.ones((6, 3))
+        kw = dict(time_step=jnp.asarray(0.2), frame_id=jnp.asarray(1))
+        v = m.init(jax.random.PRNGKey(17), hidden, pts, **kw)
+        flow, moved = m.apply(v, hidden, pts, **kw)
+        np.testing.assert_allclose(np.asarray(flow), 0.0, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(moved), np.asarray(pts))
+
+    def test_dct_basis_formula(self):
+        b = init_dct_basis(3, 10)
+        assert b.shape == (10, 3)
+        expect = np.sqrt(2 / 10) * np.cos(np.pi / 20 * (2 * 4 + 1) * 2)
+        np.testing.assert_allclose(b[4, 1], expect, rtol=1e-6)
+
+
+class TestSplatFields:
+    def _small_cfg(self, **kw):
+        return dict(
+            encoder_type="VarTriPlaneEncoder",
+            encoder_args={"noise_res": 4},
+            deform_w=16, deform_d=2, deform_skips=(1,),
+            rgb_w=16, rgb_d=2, rgb_skips=(1,),
+            scale_w=8, scale_d=2, scale_skips=(1,),
+            opacity_w=8, opacity_d=2, opacity_skips=(1,),
+            rotation_w=8, rotation_d=2, rotation_skips=(20,),
+            flow_w=16, flow_d=2, flow_skips=(1,),
+            **kw)
+
+    def test_static_forward(self):
+        m = SplatFields(n_frames=0, **self._small_cfg())
+        xyz = jnp.asarray(np.random.RandomState(20).uniform(-1, 1, (11, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(20), xyz)
+        out = m.apply(v, xyz)
+        assert out["scales"].shape == (11, 3)
+        assert out["opacity"].shape == (11, 1)
+        assert out["rotations"].shape == (11, 4)
+        assert out["rgb"].shape == (11, 3)
+        assert out["flow"] is None
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out["rotations"]), axis=-1), 1.0,
+            atol=1e-5)
+        op = np.asarray(out["opacity"])
+        assert (op >= 0).all() and (op <= 1).all()
+
+    def test_dynamic_forward_with_flow(self):
+        m = SplatFields(n_frames=8, flow_model="offset", composition_rank=4,
+                        **self._small_cfg())
+        xyz = jnp.asarray(np.random.RandomState(21).uniform(-1, 1, (7, 3)).astype(np.float32))
+        t = jnp.full((7, 1), 0.5)
+        v = m.init(jax.random.PRNGKey(21), xyz, t)
+        out = m.apply(v, xyz, t)
+        assert out["flow"].shape == (7, 3)
+        assert out["means3D"].shape == (7, 3)
+        out2 = m.apply(v, xyz, jnp.full((7, 1), 1.0))
+        assert np.abs(np.asarray(out["means3D"]) - np.asarray(out2["means3D"])).max() > 0
+
+    def test_deform_weight_zero(self):
+        m = SplatFields(n_frames=0, deform_weight=0.0, **self._small_cfg())
+        xyz = jnp.asarray(np.random.RandomState(22).uniform(-1, 1, (5, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(22), xyz)
+        out = m.apply(v, xyz)
+        np.testing.assert_allclose(np.asarray(out["means3D"]),
+                                   np.asarray(xyz), atol=1e-7)
+
+    def test_pure_mlp_ablation(self):
+        m = SplatFields(n_frames=0, encoder_type="none",
+                        **{k: v for k, v in self._small_cfg().items()
+                           if k not in ("encoder_type", "encoder_args")})
+        xyz = jnp.ones((3, 3))
+        v = m.init(jax.random.PRNGKey(23), xyz)
+        out = m.apply(v, xyz)
+        assert out["rgb"].shape == (3, 3)
+
+    def test_view_dep_rgb(self):
+        m = SplatFields(n_frames=0, use_view_dep_rgb=True, **self._small_cfg())
+        xyz = jnp.ones((4, 3))
+        v = m.init(jax.random.PRNGKey(24), xyz)
+        out = m.apply(v, xyz)
+        assert "rgb" not in out and out["rgb_feat"].shape == (4, 16)
+        dirs = jnp.asarray(np.random.RandomState(25).randn(4, 3).astype(np.float32))
+        rgb = m.apply(v, out["rgb_feat"], dirs, method=SplatFields.rgb_from_viewdir)
+        assert rgb.shape == (4, 3)
+        assert (np.asarray(rgb) >= 0).all()
+
+    def test_precomputed_planes_match(self):
+        m = SplatFields(n_frames=0, **self._small_cfg())
+        xyz = jnp.asarray(np.random.RandomState(26).uniform(-1, 1, (6, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(26), xyz)
+        planes = m.apply(v, method=SplatFields.generate_planes)
+        out1 = m.apply(v, xyz)
+        out2 = m.apply(v, xyz, planes=planes)
+        np.testing.assert_allclose(np.asarray(out1["rgb"]),
+                                   np.asarray(out2["rgb"]), atol=1e-6)
