@@ -58,7 +58,9 @@ class SplatFields(nn.Module):
     n_frames: int = 0
     radius: float | None = None
     encoder_type: str = ""
-    encoder_args: Dict[str, Any] | None = None
+    # dict or tuple-of-pairs (the latter keeps the module hashable for
+    # jit-static usage)
+    encoder_args: Any = None
     layer_strategy: str = "none"
     composition_rank: int = 0
     deform_weight: float = 1.0
@@ -96,7 +98,7 @@ class SplatFields(nn.Module):
     n_levels: int = 16
 
     def setup(self):
-        args = dict(self.encoder_args or {})
+        args = dict(self.encoder_args) if self.encoder_args else {}
         if self.encoder_type in _ENCODERS:
             cls = _ENCODERS[self.encoder_type]
             if self.encoder_type in ("VarTriPlaneEncoder", "VarHexPlaneEncoder"):

@@ -1,0 +1,312 @@
+"""Training entry point (CLI) — ``python -m splatfields_tpu.train``.
+
+Parity target: reference ``train.py`` (``training()``, :103-324): random
+camera order, warm-up/static dispatch, the all_training same-fid view
+batches, SH-degree bumping every 1000 iters, densification cadence,
+overwrite_loc, periodic eval + checkpointing, best-PSNR tracking.
+
+TPU structure: the per-iteration work is one jitted step (train_lib); the
+host picks cameras, stages view batches, drives densification (growing
+splat capacity and re-jitting only when the padded capacity overflows) and
+writes checkpoints/metrics.
+"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatfields_tpu import config as cfg_lib
+from splatfields_tpu import train_lib
+from splatfields_tpu.data.cameras import stack_cameras
+from splatfields_tpu.models import splats as splats_lib
+from splatfields_tpu.models.deform_model import DeformModel
+from splatfields_tpu.ops.ssim import psnr as psnr_fn
+from splatfields_tpu.scene import Scene
+from splatfields_tpu.utils.schedules import expon_lr_func
+
+
+def build_view_batch(cams, num_views, bg, with_mask, with_depth):
+    """Stack up to num_views cameras into one device batch (pad by repeat)."""
+    sel = list(cams)
+    while len(sel) < num_views:
+        sel.append(sel[-1])
+    sel = sel[:num_views]
+    stacked = stack_cameras(sel)
+    h, w = sel[0].image_height, sel[0].image_width
+    imgs = np.stack([
+        c.image if c.image is not None else np.zeros((3, h, w), np.float32)
+        for c in sel])
+    batch = {
+        "viewmatrix": jnp.asarray(stacked["viewmatrix"]),
+        "projmatrix": jnp.asarray(stacked["projmatrix"]),
+        "campos": jnp.asarray(stacked["campos"]),
+        "tanfovx": jnp.asarray(stacked["tanfovx"]),
+        "tanfovy": jnp.asarray(stacked["tanfovy"]),
+        "fid": jnp.asarray(sel[0].fid, jnp.float32),
+        "image": jnp.asarray(imgs),
+        "bg": jnp.asarray(bg),
+    }
+    if with_mask:
+        batch["mask"] = jnp.asarray(np.stack([
+            c.mask if c.mask is not None else np.ones((1, h, w), np.float32)
+            for c in sel]))
+    else:
+        batch["mask"] = jnp.zeros((num_views, 1, 1, 1))
+    if with_depth:
+        batch["depth"] = jnp.asarray(np.stack([
+            c.depth if c.depth is not None else np.zeros((h, w), np.float32)
+            for c in sel]))
+    else:
+        batch["depth"] = jnp.zeros((num_views, 1, 1))
+    return batch
+
+
+def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
+             save_iterations, args=None, quiet=False,
+             progress_callback=None):
+    n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
+    hidden_cfg.n_frames = n_frames
+    is_static = model_cfg.is_static
+    enable_g_opt = not opt_cfg.disable_gaussian_opt
+
+    if model_cfg.model_path:
+        os.makedirs(model_cfg.model_path, exist_ok=True)
+        if args is not None:
+            cfg_lib.save_cfg_args(model_cfg.model_path, args)
+
+    scene = Scene(model_cfg, capacity_multiplier=1.0 if is_static else 1.0)
+    deform = None
+    if not is_static:
+        deform = DeformModel(hidden_cfg, radius=scene.cameras_extent)
+        deform.train_setting(opt_cfg)
+
+    params, stats = scene.splats, scene.splat_stats
+    splat_opt = splats_lib.adam_init(params)
+    xyz_sched = expon_lr_func(
+        lr_init=opt_cfg.position_lr_init * 5.0,
+        lr_final=opt_cfg.position_lr_final * 5.0,
+        lr_delay_mult=opt_cfg.position_lr_delay_mult,
+        max_steps=opt_cfg.position_lr_max_steps)
+
+    bg = np.array([1, 1, 1] if model_cfg.white_background else [0, 0, 0],
+                  np.float32)
+
+    train_cams = scene.get_train_cameras()
+    h, w = train_cams[0].image_height, train_cams[0].image_width
+    with_mask = opt_cfg.lambda_mask > 0 and train_cams[0].mask is not None
+    with_depth = (opt_cfg.lambda_depth > 0 or opt_cfg.lambda_depthl1 > 0) \
+        and train_cams[0].depth is not None
+    if opt_cfg.lambda_mask > 0 and train_cams[0].mask is None:
+        with_mask = False
+
+    by_fid = defaultdict(list)
+    for c in train_cams:
+        by_fid[c.fid].append(c)
+
+    num_views = 1
+    if opt_cfg.all_training:
+        num_views = min(opt_cfg.num_views, max(len(v) for v in by_fid.values()))
+
+    rng = jax.random.PRNGKey(0)
+    step_cache = {}
+
+    def get_step(field_mode, sh_deg):
+        key = (field_mode, sh_deg, params.capacity)
+        if key not in step_cache:
+            # mask-loss path requires masks; disable if absent
+            opt_eff = opt_cfg
+            if not with_mask and opt_cfg.lambda_mask > 0:
+                import dataclasses as dc
+                opt_eff = dc.replace(opt_cfg, lambda_mask=0.0)
+            step_cache[key] = train_lib.make_train_step(
+                deform.net if deform else None, opt_eff, pipe_cfg, w, h,
+                num_views, field_mode, n_frames, sh_deg,
+                n_splats=opt_cfg.n_splats,
+                enable_gaussian_opt=enable_g_opt)
+        return step_cache[key]
+
+    active_sh = 0
+    ema_loss = 0.0
+    best_psnr, best_iter = 0.0, 0
+    viewpoint_stack = []
+    t_start = time.time()
+    times = []
+
+    for iteration in range(1, opt_cfg.iterations + 1):
+        if enable_g_opt and iteration % 1000 == 0:
+            active_sh = min(active_sh + 1, model_cfg.sh_degree)
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(train_cams)
+        vp = viewpoint_stack[random.randint(0, len(viewpoint_stack) - 1)]
+
+        if opt_cfg.all_training:
+            cam_list = list(by_fid[vp.fid])
+            random.shuffle(cam_list)
+        else:
+            cam_list = [vp]
+        batch = build_view_batch(cam_list, num_views, bg, with_mask,
+                                 with_depth)
+
+        field_mode = (not is_static) and not (
+            opt_cfg.warm_up is not None and 0 < opt_cfg.warm_up
+            and iteration < opt_cfg.warm_up)
+
+        lrs = splats_lib.splat_lr_tree(
+            xyz_sched(iteration) / 5.0, opt_cfg.feature_lr,
+            opt_cfg.opacity_lr, opt_cfg.scaling_lr, opt_cfg.rotation_lr)
+        field_lr = deform.learning_rate(iteration) if deform else 0.0
+
+        step = get_step(field_mode, active_sh if not field_mode else 0)
+        field_vars = deform.variables if (deform and field_mode) else {"params": {}}
+        field_opt = deform.opt_state if deform else splats_lib.adam_init({})
+
+        t0 = time.time()
+        (params, stats, splat_opt, new_fp, field_opt_new, out, rng) = step(
+            params, stats, splat_opt, field_vars, field_opt, batch, lrs,
+            field_lr, rng)
+        if deform and field_mode:
+            deform.params = new_fp
+            deform.opt_state = field_opt_new
+        out_loss = float(out.loss)
+        times.append(time.time() - t0)
+
+        if iteration > 1500 and opt_cfg.overwrite_loc and field_mode:
+            # copy field means back into _xyz (reference train.py:153-155)
+            import dataclasses as dc
+            new_xyz = np.asarray(params.xyz)
+            m3d = np.asarray(out.means3d)
+            if m3d.shape[0] == new_xyz.shape[0]:
+                params = dc.replace(params, xyz=jnp.asarray(m3d))
+
+        ema_loss = 0.4 * out_loss + 0.6 * ema_loss
+        if not quiet and iteration % 100 == 0:
+            print(f"iter {iteration}: loss {ema_loss:.5f} "
+                  f"({np.mean(times[-50:]) * 1000:.1f} ms/it)", flush=True)
+
+        # densification
+        if enable_g_opt and iteration < opt_cfg.densify_until_iter:
+            if (iteration > opt_cfg.densify_from_iter
+                    and iteration % opt_cfg.densification_interval == 0):
+                size_thr = 20.0 if iteration > opt_cfg.opacity_reset_interval else 0.0
+                rng, drng = jax.random.split(rng)
+                params, stats, splat_opt, dropped = splats_lib.densify_and_prune(
+                    params, stats, splat_opt, drng,
+                    opt_cfg.densify_grad_threshold, 0.005,
+                    scene.cameras_extent, size_thr,
+                    percent_dense=opt_cfg.percent_dense)
+                dropped = int(dropped)
+                if dropped > 0:
+                    params, stats, splat_opt = _grow_capacity(
+                        params, stats, splat_opt,
+                        int(params.capacity * 1.5) + dropped)
+                    step_cache.clear()
+
+        if iteration in test_iterations:
+            cur = evaluate(scene, params, stats, deform, model_cfg,
+                           pipe_cfg, opt_cfg, bg, active_sh, field_mode,
+                           n_frames, iteration, quiet=quiet)
+            if cur > best_psnr:
+                best_psnr, best_iter = cur, iteration
+        if iteration in save_iterations:
+            if not quiet:
+                print(f"[ITER {iteration}] saving")
+            scene.save(iteration, params, stats)
+            if deform:
+                deform.save_weights(model_cfg.model_path, iteration)
+        if progress_callback:
+            progress_callback(iteration, out_loss, params, stats)
+
+    total = time.time() - t_start
+    if not quiet:
+        print(f"Best PSNR = {best_psnr} at iteration {best_iter}")
+        print(f"Total {total:.1f}s, mean step "
+              f"{np.mean(times[20:]) * 1000:.2f} ms")
+    return params, stats, deform, best_psnr
+
+
+def _grow_capacity(params, stats, opt, new_cap):
+    """Enlarge the padded capacity (host-side, triggers re-jit)."""
+    import dataclasses as dc
+
+    def pad(a):
+        out = np.zeros((new_cap,) + a.shape[1:], np.asarray(a).dtype)
+        out[: a.shape[0]] = np.asarray(a)
+        return jnp.asarray(out)
+
+    params = jax.tree.map(pad, params)
+    stats = dc.replace(
+        stats, valid=pad(stats.valid), max_radii2d=pad(stats.max_radii2d),
+        xyz_gradient_accum=pad(stats.xyz_gradient_accum),
+        denom=pad(stats.denom))
+    opt = splats_lib.AdamState(count=opt.count,
+                               mu=jax.tree.map(pad, opt.mu),
+                               nu=jax.tree.map(pad, opt.nu))
+    return params, stats, opt
+
+
+def evaluate(scene, params, stats, deform, model_cfg, pipe_cfg, opt_cfg,
+             bg, active_sh, field_mode, n_frames, iteration, quiet=False,
+             max_views=25):
+    """In-training eval (reference ``training_report``, train.py:350-443)."""
+    from splatfields_tpu.render_lib import render_camera
+
+    results = {}
+    for name, cams in (("test", scene.get_test_cameras()),
+                       ("train", scene.get_train_cameras()[:5])):
+        if not cams:
+            continue
+        psnrs, l1s = [], []
+        for cam in cams[:max_views]:
+            img = render_camera(
+                cam, params, stats, deform, pipe_cfg, bg,
+                field_mode=field_mode, n_frames=n_frames,
+                sh_degree=active_sh)["render"]
+            gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            img = jnp.clip(img, 0, 1)
+            psnrs.append(float(psnr_fn(img, gt)))
+            l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+        results[name] = (np.mean(l1s), np.mean(psnrs))
+        if not quiet:
+            print(f"\n[ITER {iteration}] Evaluating {name}: "
+                  f"L1 {results[name][0]:.5f} PSNR {results[name][1]:.3f}")
+    return results.get("test", results.get("train", (0, 0)))[1]
+
+
+def main(argv=None):
+    parser = cfg_lib.build_parser("SplatFields-TPU training")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[i * 1000 for i in range(0, 120)]
+                        + [100_000, 200_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[100, 500, 1000, 7000, 10000, 20000, 30000,
+                                 40000, 100_000, 200_000])
+    parser.add_argument("--configs", type=str, default="")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    args.save_iterations.append(args.iterations)
+    if args.configs:
+        args = cfg_lib.merge_yaml_config(args, args.configs)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+    print("Optimizing " + model_cfg.model_path)
+    training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+             args.test_iterations, args.save_iterations, args=args,
+             quiet=args.quiet)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""End-to-end training integration tests on a synthetic Blender-format
+dataset: build a tiny scene on disk, render ground truth with the tile
+rasterizer from a known splat set, then check the full training loop
+(reader -> Scene -> jitted step -> densify -> save) reduces loss.
+"""
+import json
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from splatfields_tpu import config as cfg_lib
+from splatfields_tpu.models import splats as splats_lib
+
+
+def _make_pose(theta, phi, radius):
+    # camera on a sphere looking at origin, blender (OpenGL) convention c2w
+    cx = radius * math.cos(phi) * math.sin(theta)
+    cy = radius * math.cos(phi) * math.cos(theta)
+    cz = radius * math.sin(phi)
+    pos = np.array([cx, cy, cz])
+    forward = pos / np.linalg.norm(pos)  # blender cam looks along -z
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(up, forward)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(forward, right)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = forward
+    c2w[:3, 3] = pos
+    return c2w
+
+
+@pytest.fixture(scope="module")
+def blender_scene(tmp_path_factory):
+    """Synthetic 'lego' dataset: 64x64, 5 train + 2 test views."""
+    import PIL.Image
+    from splatfields_tpu.data.readers.blender import (
+        read_cameras_from_transforms_cv)
+    from splatfields_tpu.data.cameras import load_cam
+    from splatfields_tpu.ops.raster.api import rasterize
+
+    root = tmp_path_factory.mktemp("data") / "lego"
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+    res = 64
+    fov = 0.8
+
+    def write_transforms(name, thetas):
+        frames = []
+        for i, th in enumerate(thetas):
+            frames.append({
+                "file_path": f"./{name}/r_{i}",
+                "transform_matrix": _make_pose(th, 0.5, 4.0).tolist(),
+            })
+        with open(root / f"transforms_{name}.json", "w") as f:
+            json.dump({"camera_angle_x": fov, "frames": frames}, f)
+
+    write_transforms("train", np.linspace(0, 2 * np.pi, 5, endpoint=False))
+    write_transforms("test", [0.3, 2.5])
+    # placeholder images so the reader can load
+    blank = PIL.Image.fromarray(np.zeros((res, res, 4), np.uint8))
+    for i in range(5):
+        blank.save(root / "train" / f"r_{i}.png")
+    for i in range(2):
+        blank.save(root / "test" / f"r_{i}.png")
+
+    # ground-truth splats
+    rng = np.random.RandomState(0)
+    n = 300
+    gt_means = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    gt_scales = (0.03 + 0.04 * rng.rand(n, 3)).astype(np.float32)
+    gt_rots = rng.randn(n, 4).astype(np.float32)
+    gt_ops = rng.uniform(0.5, 0.95, n).astype(np.float32)
+    gt_cols = rng.rand(n, 3).astype(np.float32)
+
+    # render GT through loaded cameras and write the real images
+    for split, count in (("train", 5), ("test", 2)):
+        infos, _ = read_cameras_from_transforms_cv(
+            str(root), f"transforms_{split}.json", True)
+        for i, info in enumerate(infos):
+            cam = load_cam(info, -1, i, 1.0, max_resolution=res)
+            out = rasterize(
+                jnp.asarray(gt_means), jnp.asarray(gt_scales),
+                jnp.asarray(gt_rots), jnp.asarray(gt_ops),
+                jnp.asarray(cam.world_view_transform),
+                jnp.asarray(cam.full_proj_transform),
+                jnp.asarray(cam.camera_center),
+                jnp.asarray(np.ones(3, np.float32)),
+                cam.tanfovx, cam.tanfovy, cam.image_width, cam.image_height,
+                colors_precomp=jnp.asarray(gt_cols),
+                tile_cap=256, k_chunk=64)
+            rgb = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
+            alpha = np.clip(np.asarray(out.alpha)[0], 0, 1)
+            rgba = np.concatenate([rgb, alpha[..., None]], -1)
+            PIL.Image.fromarray((rgba * 255).astype(np.uint8)).save(
+                root / split / f"r_{i}.png")
+    return str(root)
+
+
+def base_args(root, model_path, extra=()):
+    parser = cfg_lib.build_parser()
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
+    argv = ["-s", root, "-m", model_path, "--white_background", "--eval",
+            "--n_views", "4", "--pts_samples", "hull", "--num_pts", "2000",
+            "--load_time_step", "0", "--composition_rank", "0",
+            "--tile_cap", "128", "--k_chunk", "32",
+            ] + list(extra)
+    return parser.parse_args(argv)
+
+
+class TestStaticTraining:
+    def test_loss_decreases_and_saves(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+
+        args = base_args(blender_scene, str(tmp_path / "run"),
+                         ["--is_static", "--iterations", "60"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 60
+        opt_cfg.densify_from_iter = 10_000  # no densify in this short run
+        losses = []
+        params, stats, deform, _ = training(
+            model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+            test_iterations=[], save_iterations=[60], args=args, quiet=True,
+            progress_callback=lambda it, loss, p, s: losses.append(loss))
+        assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+        # checkpoint written
+        ply = os.path.join(model_cfg.model_path,
+                           "point_cloud/iteration_60/point_cloud.ply")
+        assert os.path.exists(ply)
+        p2, s2, deg = splats_lib.load_ply(ply)
+        assert int(s2.valid.sum()) == int(stats.valid.sum())
+
+    def test_densification_runs(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+
+        args = base_args(blender_scene, str(tmp_path / "run2"),
+                         ["--is_static", "--iterations", "40",
+                          "--num_pts", "500"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 40
+        opt_cfg.densify_from_iter = 5
+        opt_cfg.densification_interval = 10
+        opt_cfg.densify_grad_threshold = 1e-8  # force clones/splits
+        counts = []
+        params, stats, _, _ = training(
+            model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+            test_iterations=[], save_iterations=[], args=args, quiet=True,
+            progress_callback=lambda it, loss, p, s: counts.append(
+                int(np.asarray(s.valid).sum())))
+        assert counts[-1] != counts[0]  # splat count changed
+
+
+class TestFieldTraining:
+    def test_field_mode_smoke(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+
+        args = base_args(
+            blender_scene, str(tmp_path / "run3"),
+            ["--iterations", "30", "--encoder_type", "none",
+             "--num_pts", "500", "--lambda_norm", "0.01"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 30
+        opt_cfg.densify_from_iter = 10_000
+        losses = []
+        params, stats, deform, _ = training(
+            model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+            test_iterations=[], save_iterations=[30], args=args, quiet=True,
+            progress_callback=lambda it, loss, p, s: losses.append(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        # field checkpoint written and reloadable
+        deform.load_weights(model_cfg.model_path, 30)
+
+    def test_field_mode_triplane_smoke(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+
+        args = base_args(
+            blender_scene, str(tmp_path / "run4"),
+            ["--iterations", "8", "--encoder_type", "VarTriPlaneEncoder",
+             "--num_pts", "300"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        hidden_cfg.encoder_args = {"noise_res": 4}
+        opt_cfg.iterations = 8
+        opt_cfg.densify_from_iter = 10_000
+        losses = []
+        training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                 test_iterations=[], save_iterations=[], args=args,
+                 quiet=True,
+                 progress_callback=lambda it, loss, p, s: losses.append(loss))
+        assert np.isfinite(losses).all()
