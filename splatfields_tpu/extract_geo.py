@@ -1,0 +1,89 @@
+"""Moran's-I geometry analysis CLI — ``python -m splatfields_tpu.extract_geo``.
+
+Parity target: reference ``extract_geo.py:145-197``: reload a trained
+model, compute Moran's I spatial autocorrelation of the per-splat
+attributes (scales, rotations, opacity, color), and write
+``MoransI_iteration_N.yaml`` into the model dir.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from splatfields_tpu import config as cfg_lib
+from splatfields_tpu.models import splats as splats_lib
+from splatfields_tpu.models.deform_model import DeformModel
+from splatfields_tpu.ops import knn as knn_ops
+from splatfields_tpu.scene import Scene
+
+
+def morans_report(params, stats, deform, n_frames, fid=0.0):
+    valid = np.asarray(stats.valid)
+    xyz = jnp.asarray(np.asarray(params.xyz)[valid])
+    if deform is not None:
+        scaling = jnp.asarray(
+            np.asarray(splats_lib.get_scaling(params))[valid])
+        t = None
+        if n_frames > 0:
+            t = jnp.full((xyz.shape[0], 1), fid)
+        ret = deform.net.apply(deform.variables, xyz, t)
+        attrs = {
+            "scale": np.asarray(ret["scales"] + scaling),
+            "rotation": np.asarray(ret["rotations"]),
+            "opacity": np.asarray(ret["opacity"]),
+            "means": np.asarray(ret["means3D"]),
+        }
+        if "rgb" in ret:
+            attrs["rgb"] = np.asarray(ret["rgb"])
+        pts = jnp.asarray(attrs["means"])
+    else:
+        attrs = {
+            "scale": np.asarray(splats_lib.get_scaling(params))[valid],
+            "rotation": np.asarray(splats_lib.get_rotation(params))[valid],
+            "opacity": np.asarray(splats_lib.get_opacity(params))[valid],
+            "rgb": np.asarray(
+                splats_lib.get_features(params))[valid].reshape(
+                    valid.sum(), -1),
+        }
+        pts = xyz
+
+    w, nn_ix = knn_ops.query_nn(pts, n_neighbors=5)
+    out = {}
+    for key in ("scale", "rotation", "opacity", "rgb"):
+        if key not in attrs:
+            continue
+        feats = jnp.asarray(attrs[key].reshape(attrs[key].shape[0], -1))
+        out[f"moran_{key}"] = float(knn_ops.morans_measure(w, feats[nn_ix]))
+    return out
+
+
+def main(argv=None):
+    parser = cfg_lib.build_parser("SplatFields-TPU Moran analysis")
+    parser.add_argument("--iteration", default=-1, type=int)
+    args = cfg_lib.get_combined_args(parser, argv if argv is not None
+                                     else sys.argv[1:])
+    model_cfg, pipe_cfg, hidden_cfg, _ = cfg_lib.extract_configs(args)
+    n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
+    hidden_cfg.n_frames = n_frames
+
+    scene = Scene(model_cfg, load_iteration=args.iteration, shuffle=False)
+    deform = None
+    if not model_cfg.is_static:
+        deform = DeformModel(hidden_cfg, radius=scene.cameras_extent)
+        deform.load_weights(model_cfg.model_path, args.iteration)
+    report = morans_report(scene.splats, scene.splat_stats, deform, n_frames)
+    dst = os.path.join(model_cfg.model_path,
+                       f"MoransI_iteration_{scene.loaded_iter}.yaml")
+    with open(dst, "w") as f:
+        yaml.safe_dump(report, f)
+    print("Saved", dst)
+    for k, v in report.items():
+        print(k, "=", v)
+
+
+if __name__ == "__main__":
+    main()

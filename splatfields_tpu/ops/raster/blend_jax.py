@@ -105,14 +105,20 @@ def blend_tiles(
     tiles_y: int,
     tile_size: int,
     k_chunk: int = 128,
+    tile_ids: jnp.ndarray | None = None,
 ) -> TileBlendOut:
-    """Blend all tiles. Returns per-tile pixel buffers (row-major pixels)."""
+    """Blend tiles. Returns per-tile pixel buffers (row-major pixels).
+
+    ``tile_ids`` optionally maps the rows of ``tile_idx`` to global tile
+    indices — used by the sharded path, where each device blends a
+    contiguous slice of the tile grid (parallel/step.py)."""
     num_tiles, cap = tile_idx.shape
     assert cap % k_chunk == 0
     p = tile_size * tile_size
 
     # pixel centers per tile: CUDA uses pixf = (x, y) integer pixel coords
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tx0 = (tile_ids % tiles_x) * tile_size
     ty0 = (tile_ids // tiles_x) * tile_size
     lx = jnp.arange(tile_size, dtype=jnp.int32)
