@@ -43,7 +43,7 @@ class RenderOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "image_width", "image_height", "sh_degree", "tile_size", "tile_cap",
-        "k_chunk",
+        "k_chunk", "dup_cap",
     ),
 )
 def rasterize(
@@ -68,6 +68,7 @@ def rasterize(
     tile_size: int = 16,
     tile_cap: int = 1024,
     k_chunk: int = 128,
+    dup_cap: int | None = None,
 ) -> RenderOut:
     """Render one view. All shape arguments static; N is the (padded) splat
     capacity. See module docstring for semantics."""
@@ -97,7 +98,7 @@ def rasterize(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(pre.depths),
         pre.radii,
-        tiles_x, tiles_y, tile_size, tile_cap=tile_cap,
+        tiles_x, tiles_y, tile_size, tile_cap=tile_cap, dup_cap=dup_cap,
     )
 
     blend = blend_tiles(

@@ -1,23 +1,28 @@
-"""Tile binning: depth-global sort + per-tile gather lists (pure JAX).
+"""Tile binning: depth sort + duplicated-key sort, scatter-free (pure JAX).
 
 TPU-first replacement for the CUDA rasterizer's duplicate-and-radix-sort
 binning (upstream ``ingra14m/depth-diff-gaussian-rasterization``; in-repo
-contract documented at reference SURVEY 2.9). Instead of materializing a
-variable-length duplicated instance array (dynamic shapes — hostile to XLA),
-we:
+contract documented at SURVEY 2.9). XLA scatters serialize badly on TPU, so
+the construction below uses only sorts, binary searches and gathers:
 
-1. argsort all Gaussians once by view depth (culled ones pushed to +inf) —
-   a single [N] key sort. Restricting a global depth order to any tile
-   yields that tile's front-to-back order, which is exactly what the CUDA
-   per-tile (tile | depth) radix sort produces (ties broken by Gaussian id
-   in both: the radix sort is stable over the id-ordered duplication).
-2. build a dense [num_tiles, TILE_CAP] index table by streaming the sorted
-   Gaussians in chunks: a [num_tiles, chunk] hit matrix (tile-rect overlap
-   tests, pure VPU compares), an exclusive running count per tile, and one
-   unique-index scatter per chunk. Static shapes throughout; per-tile
-   overflow beyond TILE_CAP is dropped (front-to-back alpha compositing
-   saturates: with TILE_CAP >= 1024 the dropped tail is behind T < 1e-4
-   for any realistic scene; ``counts`` lets callers detect overflow).
+1. argsort all Gaussians once by view depth (culled -> +inf). Restricting a
+   global depth order to any tile yields that tile's front-to-back order —
+   exactly what the CUDA per-tile (tile | depth) radix sort produces (both
+   break ties by Gaussian id: radix sort is stable over the id-ordered
+   duplication).
+2. gather-based duplication: with per-Gaussian tile-span counts and their
+   exclusive cumsum, duplicate slot d maps to Gaussian
+   g = searchsorted(cumsum, d) and to the (rank % span_x, rank / span_x)
+   tile of its rect — pure vectorized binary search + arithmetic, no
+   scatter. A static budget ``dup_cap`` bounds the instance array; overflow
+   drops the deepest Gaussians (count reported).
+3. one stable sort of the [dup_cap] tile keys (payload: Gaussian id).
+4. the dense [num_tiles, tile_cap] gather table is built by another binary
+   search (per-tile range starts) + one gather — again scatter-free.
+
+Per-tile overflow beyond ``tile_cap`` is dropped: front-to-back compositing
+saturates (T < 1e-4) long before 1024 splats on any realistic scene;
+``counts`` lets callers detect overflow.
 
 Not differentiable (indices only) — callers stop gradients through this.
 """
@@ -31,9 +36,10 @@ import jax.numpy as jnp
 
 
 class BinningOut(NamedTuple):
-    idx: jnp.ndarray     # [num_tiles, cap] int32 gaussian ids, -1 = empty
-    counts: jnp.ndarray  # [num_tiles] int32 total hits (incl. overflow)
-    order: jnp.ndarray   # [N] depth-sorted gaussian ids
+    idx: jnp.ndarray      # [num_tiles, cap] int32 gaussian ids, -1 = empty
+    counts: jnp.ndarray   # [num_tiles] int32 hits placed in the table
+    order: jnp.ndarray    # [N] depth-sorted gaussian ids
+    n_dropped: jnp.ndarray  # scalar: duplicates beyond dup_cap
 
 
 def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, tiles_x: int,
@@ -50,7 +56,8 @@ def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, tiles_x: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap", "chunk"),
+    static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap",
+                     "dup_cap"),
 )
 def bin_gaussians(
     means2d: jnp.ndarray,   # [N, 2] pixel centers
@@ -60,68 +67,57 @@ def bin_gaussians(
     tiles_y: int,
     tile_size: int,
     tile_cap: int = 1024,
-    chunk: int = 2048,
+    dup_cap: int | None = None,
 ) -> BinningOut:
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
+    if dup_cap is None:
+        dup_cap = 8 * n
 
     visible = radii > 0
     sort_key = jnp.where(visible, depths, jnp.inf)
     order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)  # [N]
 
-    # sorted views of the rect data
-    xmin, ymin, xmax, ymax = tile_rects(means2d, radii, tiles_x, tiles_y, tile_size)
+    xmin, ymin, xmax, ymax = tile_rects(means2d, radii, tiles_x, tiles_y,
+                                        tile_size)
     s_xmin, s_ymin = xmin[order], ymin[order]
     s_xmax, s_ymax = xmax[order], ymax[order]
-    s_visible = visible[order]
+    span_x = jnp.maximum(s_xmax - s_xmin, 0)
+    span_y = jnp.maximum(s_ymax - s_ymin, 0)
+    counts_per_g = jnp.where(visible[order], span_x * span_y, 0)
+    ends = jnp.cumsum(counts_per_g)            # inclusive cumsum
+    total = ends[-1]
+    starts = ends - counts_per_g
 
-    pad = (-n) % chunk
-    if pad:
-        def padz(a, val):
-            return jnp.concatenate([a, jnp.full((pad,), val, a.dtype)])
-        s_xmin, s_ymin = padz(s_xmin, 0), padz(s_ymin, 0)
-        s_xmax, s_ymax = padz(s_xmax, 0), padz(s_ymax, 0)
-        s_visible = padz(s_visible, False)
-        order_p = padz(order, -1)
-    else:
-        order_p = order
-    n_chunks = s_xmin.shape[0] // chunk
+    # --- gather-based duplication ---
+    d = jnp.arange(dup_cap, dtype=jnp.int32)
+    # g: first index whose end > d  (binary search, right side on ends)
+    g = jnp.searchsorted(ends, d, side="right").astype(jnp.int32)
+    g = jnp.minimum(g, n - 1)
+    rank = d - starts[g]
+    sx = jnp.maximum(span_x[g], 1)
+    tx = s_xmin[g] + rank % sx
+    ty = s_ymin[g] + rank // sx
+    dup_valid = d < total
+    tile = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)  # sentinel last
+    gauss_id = jnp.where(dup_valid, order[g], -1)
 
-    tx = jax.lax.broadcasted_iota(jnp.int32, (tiles_y, tiles_x), 1).reshape(-1)
-    ty = jax.lax.broadcasted_iota(jnp.int32, (tiles_y, tiles_x), 0).reshape(-1)
+    # --- stable sort by tile (depth order preserved within tile) ---
+    sorted_tile, sorted_id = jax.lax.sort(
+        (tile, gauss_id), num_keys=1, is_stable=True)
 
-    idx0 = jnp.full((num_tiles * tile_cap + 1,), -1, jnp.int32)
-    counts0 = jnp.zeros((num_tiles,), jnp.int32)
+    # --- per-tile ranges + gather table ---
+    tile_start = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_count = tile_start[1:] - tile_start[:-1]  # [num_tiles]
 
-    def body(c, carry):
-        idx_buf, counts = carry
-        start = c * chunk
-        cxmin = jax.lax.dynamic_slice_in_dim(s_xmin, start, chunk)
-        cymin = jax.lax.dynamic_slice_in_dim(s_ymin, start, chunk)
-        cxmax = jax.lax.dynamic_slice_in_dim(s_xmax, start, chunk)
-        cymax = jax.lax.dynamic_slice_in_dim(s_ymax, start, chunk)
-        cvis = jax.lax.dynamic_slice_in_dim(s_visible, start, chunk)
-        cids = jax.lax.dynamic_slice_in_dim(order_p, start, chunk)
+    pos = jnp.arange(tile_cap, dtype=jnp.int32)
+    gather_pos = tile_start[:-1, None] + pos[None, :]          # [T, cap]
+    in_range = pos[None, :] < tile_count[:, None]
+    gather_pos = jnp.minimum(gather_pos, dup_cap - 1)
+    idx = jnp.where(in_range, sorted_id[gather_pos], -1)
 
-        # hits[t, j]: tile t inside gaussian j's rect
-        hx = (tx[:, None] >= cxmin[None, :]) & (tx[:, None] < cxmax[None, :])
-        hy = (ty[:, None] >= cymin[None, :]) & (ty[:, None] < cymax[None, :])
-        hits = hx & hy & cvis[None, :]  # [T, chunk]
-
-        pos = counts[:, None] + jnp.cumsum(hits.astype(jnp.int32), axis=1) - 1
-        flat_pos = jnp.where(
-            hits & (pos < tile_cap),
-            tx[:, None] * 0 + jnp.arange(num_tiles, dtype=jnp.int32)[:, None] * tile_cap + pos,
-            num_tiles * tile_cap,  # dump slot
-        )
-        idx_buf = idx_buf.at[flat_pos.reshape(-1)].set(
-            jnp.broadcast_to(cids[None, :], hits.shape).reshape(-1),
-            mode="drop",
-            unique_indices=False,
-        )
-        counts = counts + jnp.sum(hits, axis=1, dtype=jnp.int32)
-        return idx_buf, counts
-
-    idx_buf, counts = jax.lax.fori_loop(0, n_chunks, body, (idx0, counts0))
-    idx = idx_buf[:-1].reshape(num_tiles, tile_cap)
-    return BinningOut(idx=idx, counts=counts, order=order)
+    n_dropped = jnp.maximum(total - dup_cap, 0)
+    return BinningOut(idx=idx, counts=tile_count, order=order,
+                      n_dropped=n_dropped)

@@ -77,7 +77,7 @@ class TestForwardVsOracle:
         s = make_scene(n=128, seed=3)
         s["scales"] = np.full_like(s["scales"], 0.5)
         s["opacities"] = np.full_like(s["opacities"], 0.9)
-        got = run_tile(s, tile_cap=256, k_chunk=32)
+        got = run_tile(s, tile_cap=256, k_chunk=32, dup_cap=4096)
         want = run_oracle(s)
         np.testing.assert_allclose(np.asarray(got.color), want["color"],
                                    atol=5e-5, rtol=1e-3)
@@ -222,8 +222,8 @@ class TestTileEdgeCases:
         s["opacities"] = np.full_like(s["opacities"], 0.99)
         s["scales"] = np.full_like(s["scales"], 0.4)
         want = run_oracle(s)
-        big = np.asarray(run_tile(s, tile_cap=256, k_chunk=32).color)
-        small = np.asarray(run_tile(s, tile_cap=64, k_chunk=32).color)
+        big = np.asarray(run_tile(s, tile_cap=256, k_chunk=32, dup_cap=4096).color)
+        small = np.asarray(run_tile(s, tile_cap=64, k_chunk=32, dup_cap=4096).color)
         # generous cap: exact; tiny cap: bounded leak (saturated pixels only)
         np.testing.assert_allclose(big, want["color"], atol=5e-5, rtol=1e-3)
         assert np.abs(big - small).max() < 0.06
