@@ -1,0 +1,118 @@
+"""Stage-by-stage TPU timing of the training step (dev tool)."""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatfields_tpu import config as cfg_lib
+from splatfields_tpu.models import splats as splats_lib
+from splatfields_tpu.models.deform_model import DeformModel
+from splatfields_tpu.ops.raster.preprocess import preprocess
+from splatfields_tpu.ops.raster.binning import bin_gaussians
+from splatfields_tpu.ops.raster.blend_jax import blend_tiles
+from splatfields_tpu.ops.raster.api import rasterize
+from splatfields_tpu.ops.ssim import ssim as ssim_fn
+from splatfields_tpu.utils import camera_math as cm
+
+
+def timeit(name, fn, *args, n=10, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1000
+    print(f"{name:40s} {dt:9.2f} ms", flush=True)
+    return out
+
+
+def main():
+    import math
+    width = height = 800
+    n = 100_000
+    rng = np.random.RandomState(0)
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 4.0], np.float32)
+    w2v = jnp.asarray(cm.get_world2view(R, t).T)
+    fov = 0.8
+    proj = cm.get_projection_matrix(0.01, 100.0, fov, fov).T
+    full = jnp.asarray((np.asarray(w2v) @ proj).astype(np.float32))
+    campos = jnp.asarray(np.linalg.inv(np.asarray(w2v).T)[:3, 3].astype(np.float32))
+    tanfov = math.tan(fov / 2)
+
+    means = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+    scales = jnp.asarray((0.005 + 0.01 * rng.rand(n, 3)).astype(np.float32))
+    rots = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    ops = jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32))
+    cols = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+    bg = jnp.ones(3, jnp.float32)
+    gt = jnp.asarray(rng.rand(3, height, width).astype(np.float32))
+
+    tiles_x = tiles_y = 50
+
+    # field net
+    hidden = cfg_lib.HiddenConfig(encoder_type="VarTriPlaneEncoder",
+                                  composition_rank=0, n_frames=0)
+    deform = DeformModel(hidden, radius=1.0)
+    net, fv = deform.net, deform.variables
+
+    f_fwd = jax.jit(lambda v, x: net.apply(v, x)["means3D"].sum())
+    timeit("field fwd", f_fwd, fv, means)
+    f_fb = jax.jit(jax.grad(lambda v, x: net.apply(v, x)["means3D"].sum()))
+    timeit("field fwd+bwd", f_fb, fv, means)
+
+    pre_f = jax.jit(lambda: preprocess(
+        means, scales, rots, ops, w2v, full, width, height, tanfov, tanfov,
+        colors_precomp=cols))
+    pre = timeit("preprocess fwd", pre_f)
+
+    bin_f = jax.jit(lambda: bin_gaussians(
+        pre.means2d, pre.depths, pre.radii, tiles_x, tiles_y, 16,
+        tile_cap=1024))
+    binning = timeit("binning", bin_f)
+    print("   total dup:", int(jnp.sum(binning.counts)),
+          "max/tile:", int(jnp.max(binning.counts)), flush=True)
+
+    blend_f = jax.jit(lambda: blend_tiles(
+        binning.idx, pre.means2d, pre.conics, pre.rgb, pre.opacity,
+        pre.depths, tiles_x, tiles_y, 16, k_chunk=128))
+    timeit("blend fwd", blend_f)
+
+    def blend_loss():
+        b = blend_tiles(binning.idx, pre.means2d, pre.conics, pre.rgb,
+                        pre.opacity, pre.depths, tiles_x, tiles_y, 16,
+                        k_chunk=128)
+        return b.color.sum() + b.final_t.sum()
+    timeit("blend fwd (loss reduce)", jax.jit(blend_loss))
+    g_blend = jax.jit(jax.grad(
+        lambda m2d: blend_tiles(binning.idx, m2d, pre.conics, pre.rgb,
+                                pre.opacity, pre.depths, tiles_x, tiles_y,
+                                16, k_chunk=128).color.sum()))
+    timeit("blend fwd+bwd(means2d)", g_blend, pre.means2d)
+
+    rast = jax.jit(lambda m, s, q, o, c: rasterize(
+        m, s, q, o, w2v, full, campos, bg, tanfov, tanfov, width, height,
+        colors_precomp=c).color.sum())
+    timeit("rasterize fwd", rast, means, scales, rots, ops, cols)
+    rast_g = jax.jit(jax.grad(
+        lambda m, s, q, o, c: rasterize(
+            m, s, q, o, w2v, full, campos, bg, tanfov, tanfov, width,
+            height, colors_precomp=c).color.sum(), argnums=(0, 1, 2, 3, 4)))
+    timeit("rasterize fwd+bwd", rast_g, means, scales, rots, ops, cols)
+
+    def photo_loss(m, s, q, o, c):
+        out = rasterize(m, s, q, o, w2v, full, campos, bg, tanfov, tanfov,
+                        width, height, colors_precomp=c)
+        l1 = jnp.mean(jnp.abs(out.color - gt))
+        return 0.8 * l1 + 0.2 * (1 - ssim_fn(out.color, gt))
+    timeit("raster+ssim loss fwd+bwd",
+           jax.jit(jax.grad(photo_loss, argnums=(0, 1, 2, 3, 4))),
+           means, scales, rots, ops, cols)
+
+    timeit("ssim only fwd", jax.jit(lambda a: ssim_fn(a, gt)), gt * 0.5)
+
+
+if __name__ == "__main__":
+    main()

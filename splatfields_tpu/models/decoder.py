@@ -35,6 +35,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from splatfields_tpu.models.initializers import (
     kaiming_normal_conv,
@@ -190,6 +191,128 @@ class TimeVAEDecoder(nn.Module):
         x = jax.nn.silu(x)
         x = TimeConv(self.out_channels, 3, name="conv_out", **tc)(x, frame_id)
         return x
+
+
+class VAEDecoder(TimeVAEDecoder):
+    """Static (non-time-conditioned) decoder alias — reference
+    ``scene/decoders.py:332-369``: identical architecture with
+    strategy='none' (the reference keeps a separate copy; here it is the
+    n_frames=0 configuration of the same module)."""
+
+    def __call__(self, z, frame_id=None):
+        return super().__call__(z, None)
+
+
+class Conv1DStack(nn.Module):
+    """Decoder1D (reference ``scene/tripFields.py:206-273``): conv ->
+    [conv+GroupNorm+SiLU -> linear upsample]* -> conv -> SiLU, NLC layout."""
+    in_channels: int = 8
+    out_channels: int = 16
+    upsample_resolutions: Sequence[int] = (32, 64, 64, 128, 128, 256, 256)
+    block_channels: Sequence[int] = (128, 128, 128, 128, 64, 64, 32, 32)
+
+    @nn.compact
+    def __call__(self, x):  # [B, L, C]
+        def conv1d(h, feats, name):
+            k = self.param(f"{name}_kernel", kaiming_normal_conv,
+                           (3, 1, h.shape[-1], feats))[:, 0]
+            return jax.lax.conv_general_dilated(
+                h, k, (1,), [(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+
+        x = conv1d(x, self.block_channels[0], "conv_in")
+        for i, res in enumerate(self.upsample_resolutions):
+            x = conv1d(x, self.block_channels[i + 1], f"conv_{i}")
+            x = nn.GroupNorm(num_groups=16, name=f"norm_{i}")(x)
+            x = jax.nn.silu(x)
+            # linear interpolation to target length (align_corners=False)
+            b, l, c = x.shape
+            pos = (jnp.arange(res) + 0.5) * l / res - 0.5
+            lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, l - 1)
+            hi = jnp.clip(lo + 1, 0, l - 1)
+            f = jnp.clip(pos - lo, 0.0, 1.0)[None, :, None]
+            x = x[:, lo] * (1 - f) + x[:, hi] * f
+        x = conv1d(x, self.out_channels, "conv_out")
+        return jax.nn.silu(x)
+
+
+class Conv3DStack(nn.Module):
+    """Decoder3D (reference ``scene/tripFields.py:295-361``): 3-D conv
+    stack with nearest upsampling, NDHWC layout."""
+    in_channels: int = 8
+    out_channels: int = 16
+    upsample_resolutions: Sequence[int] = (4, 4, 8, 16, 32)
+    block_channels: Sequence[int] = (128, 128, 128, 64, 32, 32)
+
+    @nn.compact
+    def __call__(self, x):  # [B, D, H, W, C]
+        def conv3d(h, feats, name):
+            k = self.param(f"{name}_kernel", _kaiming3d, (3, 3, 3,
+                                                          h.shape[-1], feats))
+            return jax.lax.conv_general_dilated(
+                h, k, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        x = conv3d(x, self.block_channels[0], "conv_in")
+        for i, res in enumerate(self.upsample_resolutions):
+            x = conv3d(x, self.block_channels[i + 1], f"conv_{i}")
+            x = nn.GroupNorm(num_groups=16, name=f"norm_{i}")(x)
+            x = jax.nn.silu(x)
+            b, d, h, w, c = x.shape
+            if res != d:
+                rep = res // d
+                x = jnp.repeat(jnp.repeat(jnp.repeat(x, rep, 1), rep, 2),
+                               rep, 3)
+        x = conv3d(x, self.out_channels, "conv_out")
+        return jax.nn.silu(x)
+
+
+def _kaiming3d(key, shape, dtype=jnp.float32):
+    kd, kh, kw, _, out = shape
+    std = float(np.sqrt(2.0 / (kd * kh * kw * out)))
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class Tensorial1D(nn.Module):
+    """Frozen-noise 1-D feature-line generator (reference :275-293)."""
+    noise_ch: int = 8
+    out_ch: int = 16
+    noise_res: int = 8
+
+    @nn.compact
+    def __call__(self):
+        noise = self.variable(
+            "buffers", "noise",
+            lambda: jax.random.normal(self.make_rng("params"),
+                                      (1, self.noise_res, self.noise_ch)))
+        r = self.noise_res
+        net = Conv1DStack(
+            self.noise_ch, self.out_ch,
+            tuple(r * i for i in (2, 4, 8, 16, 16)),
+            (128, 128, 128, 64, 32, 32), name="net")
+        return net(noise.value)  # [1, 16r, out_ch]
+
+
+class Tensorial3D(nn.Module):
+    """Frozen-noise 3-D feature-grid generator (reference :363-381)."""
+    noise_ch: int = 8
+    out_ch: int = 16
+    noise_res: int = 4
+
+    @nn.compact
+    def __call__(self):
+        noise = self.variable(
+            "buffers", "noise",
+            lambda: jax.random.normal(
+                self.make_rng("params"),
+                (1, self.noise_res, self.noise_res, self.noise_res,
+                 self.noise_ch)))
+        r = self.noise_res
+        net = Conv3DStack(
+            self.noise_ch, self.out_ch,
+            tuple(r * i for i in (1, 1, 2, 4, 8)),
+            (128, 128, 128, 64, 32, 32), name="net")
+        return net(noise.value)  # [1, 8r, 8r, 8r, out_ch]
 
 
 class Tensorial2D(nn.Module):

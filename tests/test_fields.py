@@ -320,3 +320,36 @@ class TestSplatFields:
         out2 = m.apply(v, xyz, planes=planes)
         np.testing.assert_allclose(np.asarray(out1["rgb"]),
                                    np.asarray(out2["rgb"]), atol=1e-6)
+
+
+class TestAuxGenerators:
+    def test_tensorial1d(self):
+        from splatfields_tpu.models.decoder import Tensorial1D
+        m = Tensorial1D(noise_res=4)
+        v = m.init(jax.random.PRNGKey(30))
+        y = m.apply(v)
+        assert y.shape == (1, 64, 16)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_tensorial3d(self):
+        from splatfields_tpu.models.decoder import Tensorial3D
+        m = Tensorial3D(noise_res=2)
+        v = m.init(jax.random.PRNGKey(31))
+        y = m.apply(v)
+        assert y.shape == (1, 16, 16, 16, 16)
+
+    def test_var_grid_encoder(self):
+        from splatfields_tpu.models.encoders import VarGridEncoder
+        m = VarGridEncoder(noise_res=2)
+        pts = jnp.asarray(np.random.RandomState(32).uniform(-1, 1, (6, 3)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(32), pts)
+        y = m.apply(v, pts)
+        assert y.shape == (6, 16)
+
+    def test_vae_decoder_alias(self):
+        from splatfields_tpu.models.decoder import VAEDecoder
+        m = VAEDecoder(block_out_channels=(32, 32))
+        z = jnp.ones((1, 6, 6, 8))
+        v = m.init(jax.random.PRNGKey(33), z)
+        y = m.apply(v, z)
+        assert y.shape == (1, 12, 12, 16)
