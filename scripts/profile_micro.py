@@ -1,4 +1,7 @@
 """Micro-benchmarks for blend/binning primitives on TPU (dev tool)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 import jax
 import jax.numpy as jnp

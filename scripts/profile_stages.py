@@ -1,4 +1,7 @@
 """Stage-by-stage TPU timing of the training step (dev tool)."""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -102,9 +102,9 @@ def rasterize(
     )
 
     blend = blend_tiles(
-        binning.idx, means2d, pre.conics, pre.rgb,
-        pre.opacity, pre.depths,
-        tiles_x, tiles_y, tile_size, k_chunk=k_chunk,
+        binning.sorted_id, binning.tile_start, binning.counts,
+        means2d, pre.conics, pre.rgb, pre.opacity, pre.depths,
+        tiles_x, tiles_y, tile_size, tile_cap=tile_cap, k_chunk=k_chunk,
     )
 
     color = tiles_to_image(blend.color, tiles_x, tiles_y, tile_size,

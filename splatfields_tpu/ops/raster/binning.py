@@ -40,6 +40,8 @@ class BinningOut(NamedTuple):
     counts: jnp.ndarray   # [num_tiles] int32 hits placed in the table
     order: jnp.ndarray    # [N] depth-sorted gaussian ids
     n_dropped: jnp.ndarray  # scalar: duplicates beyond dup_cap
+    sorted_id: jnp.ndarray  # [dup_cap] gaussian id per sorted instance (-1 pad)
+    tile_start: jnp.ndarray  # [num_tiles + 1] instance ranges per tile
 
 
 def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, tiles_x: int,
@@ -120,4 +122,5 @@ def bin_gaussians(
 
     n_dropped = jnp.maximum(total - dup_cap, 0)
     return BinningOut(idx=idx, counts=tile_count, order=order,
-                      n_dropped=n_dropped)
+                      n_dropped=n_dropped, sorted_id=sorted_id,
+                      tile_start=tile_start)

@@ -13,11 +13,24 @@ with the CUDA skip rules reproduced exactly:
 - ``T_i * (1-alpha_i) < 1e-4`` -> pixel done; the triggering Gaussian is
   NOT applied and nothing after it is.
 
+TPU data-movement design (the part that matters): a TPU gather fetches a
+whole (8, 128) tile per index, so per-attribute scalar gathers are ~1000x
+off speed-of-light. Instead:
+
+1. all per-splat render attributes are packed into ONE [N, 8+3] row matrix,
+2. one row gather reorders it into the depth-sorted duplicated instance
+   order produced by binning (``sorted_id``): [dup_cap, A],
+3. each tile's slice of that array is CONTIGUOUS (``tile_start`` ranges), so
+   the dense [T, tile_cap, A] table is built with block dynamic-slices
+   (sequential reads, no per-element gathers),
+4. the compositing scan slices K-sized chunks from the dense table — zero
+   gathers inside the loop.
+
 Instead of a sequential per-splat loop, the compositing weights are computed
 in K-sized chunks with an (exclusive) cumulative product along the splat
-axis — the weighted color/depth sums then become [K, P] x [K, C] matmuls
-that land on the MXU. The early-done semantics are recovered in closed form
-from the full cumulative product (see ``_blend_chunk``), which is exact: the
+axis — the weighted color sums then become [K, P] x [K, C] matmuls on the
+MXU. The early-done semantics are recovered in closed form from the full
+cumulative product (see ``_blend_chunk``), which is exact: the
 transmittance sequence only diverges *after* the first trigger, where all
 contributions are masked anyway.
 
@@ -25,8 +38,8 @@ The depth channel accumulates alpha-weighted view depth without final
 normalization, matching the depth fork's forward.
 
 Differentiable by JAX autodiff; the chunk scan body is rematerialized
-(``jax.checkpoint``) so the backward recomputes alphas from the gathered
-inputs instead of storing [cap, pixels] intermediates.
+(``jax.checkpoint``) so the backward recomputes alphas from the (cheap)
+dense table instead of storing [cap, pixels] intermediates.
 """
 from __future__ import annotations
 
@@ -39,63 +52,82 @@ import jax.numpy as jnp
 _ALPHA_MIN = 1.0 / 255.0
 _T_EPS = 1e-4
 
+# packed attribute layout
+_A = 10  # mean_x, mean_y, con_a, con_b, con_c, opacity, r, g, b, depth
+
 
 class TileBlendOut(NamedTuple):
-    color: jnp.ndarray   # [T, P, 3]
-    depth: jnp.ndarray   # [T, P]
+    color: jnp.ndarray    # [T, P, 3]
+    depth: jnp.ndarray    # [T, P]
     final_t: jnp.ndarray  # [T, P]
 
 
 def _blend_chunk(carry, chunk):
-    """One K-chunk of front-to-back compositing for a whole tile batch.
+    """One K-chunk of front-to-back compositing for all tiles.
 
-    carry: (color [.., P, 3], depth [.., P], T [.., P], done [.., P])
-    chunk: dict of per-chunk gathered attrs, leading dims [.., K].
+    carry: (color [T, P, 3], depth [T, P], t_true [T, P], t_full [T, P])
+    chunk: (tab [A, T, K] packed attrs, valid [T, K], px [T, P], py [T, P])
+
+    Early-termination semantics in closed form: let s_i be the *inclusive*
+    cumulative transmittance including every alpha seen so far (monotone
+    decreasing). CUDA applies splat i iff no j <= i had
+    T_j * (1-alpha_j) < 1e-4 with alpha_j > 0; because s is monotone and
+    splats with alpha = 0 contribute nothing, this is exactly
+    ``w_i = alpha_i * T_i * [s_i >= 1e-4]``. The pixel's true (frozen)
+    transmittance is the smallest s_i still >= 1e-4. Two carries:
+    ``t_full`` (unfrozen inclusive product — the mask/cumprod seed, keeps
+    decreasing past the stop) and ``t_true`` (the CUDA-visible T). This
+    costs ONE cumulative op per chunk instead of cumprod+cumsum+prod.
     """
-    color, depth, trans, done = carry
-    mx, my = chunk["mean_x"], chunk["mean_y"]        # [.., K]
-    ca, cb, cc = chunk["con_a"], chunk["con_b"], chunk["con_c"]
-    op, rgb, z = chunk["opacity"], chunk["rgb"], chunk["depth"]
-    valid = chunk["valid"]
-    px, py = chunk["px"], chunk["py"]                # [.., P]
+    color, depth, t_true, t_full = carry
+    tab, valid, px, py = chunk
+    mx, my = tab[0], tab[1]
+    ca, cb, cc = tab[2], tab[3], tab[4]
+    op, z = tab[5], tab[9]
+    rgb = jnp.stack([tab[6], tab[7], tab[8]], axis=-1)  # [T, K, 3]
 
-    dx = mx[..., :, None] - px[..., None, :]         # [.., K, P]
-    dy = my[..., :, None] - py[..., None, :]
+    dx = mx[:, :, None] - px[:, None, :]              # [T, K, P]
+    dy = my[:, :, None] - py[:, None, :]
     power = (
-        -0.5 * (ca[..., :, None] * dx * dx + cc[..., :, None] * dy * dy)
-        - cb[..., :, None] * dx * dy
+        -0.5 * (ca[:, :, None] * dx * dx + cc[:, :, None] * dy * dy)
+        - cb[:, :, None] * dx * dy
     )
-    alpha = jnp.minimum(0.99, op[..., :, None] * jnp.exp(power))
-    skip = (power > 0.0) | (alpha < _ALPHA_MIN) | (~valid[..., :, None])
+    alpha = jnp.minimum(0.99, op[:, :, None] * jnp.exp(power))
+    skip = (power > 0.0) | (alpha < _ALPHA_MIN) | (~valid[:, :, None])
     alpha = jnp.where(skip, 0.0, alpha)
 
-    one_m = 1.0 - alpha
-    # exclusive cumulative transmittance within the chunk, seeded by carry
-    t_full = trans[..., None, :] * jnp.concatenate(
-        [jnp.ones_like(one_m[..., :1, :]), jnp.cumprod(one_m[..., :-1, :], axis=-2)],
-        axis=-2,
-    )  # [.., K, P]
-    trig = (t_full * one_m < _T_EPS) & (alpha > 0.0)
-    done_incl = jnp.logical_or(
-        done[..., None, :], jnp.cumsum(trig.astype(jnp.int32), axis=-2) > 0
-    )
-    applied = ~done_incl
-    w = alpha * t_full * applied.astype(alpha.dtype)  # [.., K, P]
+    # inclusive cumulative transmittance s_i seeded by the full carry
+    s = t_full[:, None, :] * jnp.cumprod(1.0 - alpha, axis=1)  # [T, K, P]
+    t_excl = jnp.concatenate(
+        [t_full[:, None, :], s[:, :-1, :]], axis=1)            # T_i
+    live = s >= _T_EPS
+    w = alpha * t_excl * live.astype(alpha.dtype)              # [T, K, P]
 
-    color = color + jnp.einsum("...kp,...kc->...pc", w, rgb, precision="highest")
-    depth = depth + jnp.sum(w * z[..., :, None], axis=-2)
-    alpha_eff = alpha * applied.astype(alpha.dtype)
-    trans = trans * jnp.prod(1.0 - alpha_eff, axis=-2)
-    done = done_incl[..., -1, :]
-    return (color, depth, trans, done), None
+    color = color + jnp.einsum("tkp,tkc->tpc", w, rgb)
+    depth = depth + jnp.sum(w * z[:, :, None], axis=1)
+    # frozen T: smallest surviving s (falls back to the carried value)
+    t_cand = jnp.where(live, s, t_true[:, None, :])
+    t_true = jnp.minimum(jnp.min(t_cand, axis=1), t_true)
+    t_full = s[:, -1, :]
+    return (color, depth, t_true, t_full), None
+
+
+def pack_attributes(means2d, conics, rgb, opacity, depths) -> jnp.ndarray:
+    """[N] per-splat render attrs -> one [N, A] row matrix."""
+    return jnp.concatenate(
+        [means2d, conics, opacity.reshape(-1, 1), rgb,
+         depths.reshape(-1, 1)], axis=1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_size", "tiles_x", "tiles_y", "k_chunk"),
+    static_argnames=("tile_size", "tiles_x", "tiles_y", "tile_cap",
+                     "k_chunk"),
 )
 def blend_tiles(
-    tile_idx: jnp.ndarray,    # [T, cap] int32, -1 empty (depth sorted)
+    sorted_id: jnp.ndarray,   # [D] depth-sorted instance gaussian ids (-1 pad)
+    tile_start: jnp.ndarray,  # [num_tiles + 1] instance ranges
+    counts: jnp.ndarray,      # [num_tiles]
     means2d: jnp.ndarray,     # [N, 2]
     conics: jnp.ndarray,      # [N, 3]
     rgb: jnp.ndarray,         # [N, 3]
@@ -104,65 +136,64 @@ def blend_tiles(
     tiles_x: int,
     tiles_y: int,
     tile_size: int,
+    tile_cap: int = 1024,
     k_chunk: int = 128,
     tile_ids: jnp.ndarray | None = None,
 ) -> TileBlendOut:
     """Blend tiles. Returns per-tile pixel buffers (row-major pixels).
 
-    ``tile_ids`` optionally maps the rows of ``tile_idx`` to global tile
-    indices — used by the sharded path, where each device blends a
-    contiguous slice of the tile grid (parallel/step.py)."""
-    num_tiles, cap = tile_idx.shape
-    assert cap % k_chunk == 0
+    ``tile_ids`` optionally maps rows of ``tile_start``/``counts`` to global
+    tile indices — used by the sharded path where each device blends a
+    contiguous slice of the tile grid (parallel/step.py).
+    """
+    num_tiles = counts.shape[0]
+    cap, k = tile_cap, k_chunk
+    assert cap % k == 0
     p = tile_size * tile_size
+    d_total = sorted_id.shape[0]
 
-    # pixel centers per tile: CUDA uses pixf = (x, y) integer pixel coords
+    # --- pack + reorder into instance order (one row gather) ---
+    pack = pack_attributes(means2d, conics, rgb, opacity, depths)  # [N, A]
+    safe_sid = jnp.maximum(sorted_id, 0)
+    sorted_pack = pack[safe_sid]  # [D, A]
+
+    # --- dense per-tile table via contiguous block slices ---
+    starts = jnp.clip(tile_start[:num_tiles], 0, max(d_total - cap, 0))
+
+    def row(s):
+        return jax.lax.dynamic_slice(sorted_pack, (s, 0), (cap, pack.shape[1]))
+
+    table = jax.vmap(row)(starts)                  # [T, cap, A]
+    tab_full = jnp.transpose(table, (2, 0, 1))     # [A, T, cap]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid_full = pos[None, :] < jnp.minimum(counts, cap)[:, None]  # [T, cap]
+
+    # --- pixel coordinates ---
     if tile_ids is None:
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tx0 = (tile_ids % tiles_x) * tile_size
     ty0 = (tile_ids // tiles_x) * tile_size
     lx = jnp.arange(tile_size, dtype=jnp.int32)
-    px = (tx0[:, None, None] + lx[None, None, :]).astype(jnp.float32)  # [T,1,ts]
-    py = (ty0[:, None, None] + lx[None, :, None]).astype(jnp.float32)  # [T,ts,1]
+    px = (tx0[:, None, None] + lx[None, None, :]).astype(jnp.float32)
+    py = (ty0[:, None, None] + lx[None, :, None]).astype(jnp.float32)
     px = jnp.broadcast_to(px, (num_tiles, tile_size, tile_size)).reshape(num_tiles, p)
     py = jnp.broadcast_to(py, (num_tiles, tile_size, tile_size)).reshape(num_tiles, p)
 
-    safe_idx = jnp.maximum(tile_idx, 0)
-    valid_all = tile_idx >= 0
-
-    n_chunks = cap // k_chunk
-
-    def chunk_slices(c):
-        sl = jax.lax.dynamic_slice_in_dim(safe_idx, c * k_chunk, k_chunk, axis=1)
-        v = jax.lax.dynamic_slice_in_dim(valid_all, c * k_chunk, k_chunk, axis=1)
-        return {
-            "mean_x": means2d[sl, 0],
-            "mean_y": means2d[sl, 1],
-            "con_a": conics[sl, 0],
-            "con_b": conics[sl, 1],
-            "con_c": conics[sl, 2],
-            "opacity": opacity[sl],
-            "rgb": rgb[sl],
-            "depth": depths[sl],
-            "valid": v,
-            "px": px,
-            "py": py,
-        }
-
+    # --- compositing scan over K-chunks ---
     color0 = jnp.zeros((num_tiles, p, 3), jnp.float32)
     depth0 = jnp.zeros((num_tiles, p), jnp.float32)
     t0 = jnp.ones((num_tiles, p), jnp.float32)
-    done0 = jnp.zeros((num_tiles, p), bool)
 
     blend_step = jax.checkpoint(_blend_chunk)
 
     def scan_body(carry, c):
-        return blend_step(carry, chunk_slices(c))
+        tab = jax.lax.dynamic_slice_in_dim(tab_full, c * k, k, axis=2)
+        val = jax.lax.dynamic_slice_in_dim(valid_full, c * k, k, axis=1)
+        return blend_step(carry, (tab, val, px, py))
 
-    (color, depth, trans, _done), _ = jax.lax.scan(
-        scan_body, (color0, depth0, t0, done0), jnp.arange(n_chunks)
-    )
-    return TileBlendOut(color=color, depth=depth, final_t=trans)
+    (color, depth, t_true, _t_full), _ = jax.lax.scan(
+        scan_body, (color0, depth0, t0, t0), jnp.arange(cap // k))
+    return TileBlendOut(color=color, depth=depth, final_t=t_true)
 
 
 def tiles_to_image(tile_buf: jnp.ndarray, tiles_x: int, tiles_y: int,

@@ -75,17 +75,24 @@ def sharded_render_loss(attrs_local, batch_local, opt_cfg, pipe_cfg,
             jax.lax.stop_gradient(pre.depths),
             pre.radii, tiles_x, tiles_y, tile_size,
             tile_cap=pipe_cfg.tile_cap)
-        # local tile slice
-        idx_pad = jnp.concatenate(
-            [binning.idx,
-             jnp.full((tiles_pad - num_tiles, binning.idx.shape[1]), -1,
-                      jnp.int32)], axis=0)
+        # local slice of the tile grid: ranges + counts for t_loc tiles
         start = my_model * t_loc
-        local_idx = jax.lax.dynamic_slice_in_dim(idx_pad, start, t_loc, 0)
-        local_ids = start + jnp.arange(t_loc, dtype=jnp.int32)
+        start_c = jnp.minimum(start, num_tiles - 1)
+        n_real = jnp.clip(num_tiles - start, 0, t_loc)
+        local_starts = jax.lax.dynamic_slice_in_dim(
+            binning.tile_start, start_c, t_loc + 1, 0)
+        local_counts = jax.lax.dynamic_slice_in_dim(
+            jnp.concatenate([binning.counts,
+                             jnp.zeros(tiles_pad - num_tiles, jnp.int32)]),
+            start_c, t_loc, 0)
+        local_counts = jnp.where(
+            jnp.arange(t_loc) < n_real, local_counts, 0)
+        local_ids = start_c + jnp.arange(t_loc, dtype=jnp.int32)
         blend = blend_tiles(
-            local_idx, pre.means2d, pre.conics, pre.rgb, pre.opacity,
+            binning.sorted_id, local_starts, local_counts,
+            pre.means2d, pre.conics, pre.rgb, pre.opacity,
             pre.depths, tiles_x, tiles_y, tile_size,
+            tile_cap=pipe_cfg.tile_cap,
             k_chunk=pipe_cfg.k_chunk, tile_ids=local_ids)
         # gather tile buffers -> full image (VJP scatters back)
         color_tiles = jax.lax.all_gather(
