@@ -28,8 +28,20 @@ import jax
 import jax.numpy as jnp
 
 from splatfields_tpu.ops.raster.binning import bin_gaussians
-from splatfields_tpu.ops.raster.blend_jax import blend_tiles, tiles_to_image
+from splatfields_tpu.ops.raster.blend_jax import (
+    blend_tiles,
+    pack_attributes,
+    tiles_to_image,
+)
+from splatfields_tpu.ops.raster.blend_pallas import blend_sorted_pallas
 from splatfields_tpu.ops.raster.preprocess import preprocess
+
+
+def default_blend_impl() -> str:
+    """'pallas' on real TPU backends, 'jax' elsewhere (CPU tests run the
+    Pallas kernel through its interpreter only in dedicated parity tests)."""
+    import jax as _jax
+    return "jax" if _jax.default_backend() == "cpu" else "pallas"
 
 
 class RenderOut(NamedTuple):
@@ -43,7 +55,7 @@ class RenderOut(NamedTuple):
     jax.jit,
     static_argnames=(
         "image_width", "image_height", "sh_degree", "tile_size", "tile_cap",
-        "k_chunk", "dup_cap",
+        "k_chunk", "dup_cap", "blend_impl",
     ),
 )
 def rasterize(
@@ -69,6 +81,7 @@ def rasterize(
     tile_cap: int = 1024,
     k_chunk: int = 128,
     dup_cap: int | None = None,
+    blend_impl: str | None = None,
 ) -> RenderOut:
     """Render one view. All shape arguments static; N is the (padded) splat
     capacity. See module docstring for semantics."""
@@ -101,17 +114,30 @@ def rasterize(
         tiles_x, tiles_y, tile_size, tile_cap=tile_cap, dup_cap=dup_cap,
     )
 
-    blend = blend_tiles(
-        binning.sorted_id, binning.tile_start, binning.counts,
-        means2d, pre.conics, pre.rgb, pre.opacity, pre.depths,
-        tiles_x, tiles_y, tile_size, tile_cap=tile_cap, k_chunk=k_chunk,
-    )
+    if blend_impl is None:
+        blend_impl = default_blend_impl()
+    if blend_impl == "pallas":
+        pack = pack_attributes(means2d, pre.conics, pre.rgb, pre.opacity,
+                               pre.depths)
+        sorted_pack = pack[jnp.maximum(binning.sorted_id, 0)]
+        color_t, depth_t, tfinal_t = blend_sorted_pallas(
+            sorted_pack, binning.tile_start, binning.counts,
+            tiles_x, tiles_y, tile_size, tile_cap, k_chunk, False)
+        color_tiles = jnp.transpose(color_t, (0, 2, 1))   # [T, P, 3]
+    else:
+        blend = blend_tiles(
+            binning.sorted_id, binning.tile_start, binning.counts,
+            means2d, pre.conics, pre.rgb, pre.opacity, pre.depths,
+            tiles_x, tiles_y, tile_size, tile_cap=tile_cap, k_chunk=k_chunk,
+        )
+        color_tiles, depth_t, tfinal_t = (blend.color, blend.depth,
+                                          blend.final_t)
 
-    color = tiles_to_image(blend.color, tiles_x, tiles_y, tile_size,
+    color = tiles_to_image(color_tiles, tiles_x, tiles_y, tile_size,
                            image_height, image_width)      # [H, W, 3]
-    depth = tiles_to_image(blend.depth, tiles_x, tiles_y, tile_size,
+    depth = tiles_to_image(depth_t, tiles_x, tiles_y, tile_size,
                            image_height, image_width)      # [H, W]
-    final_t = tiles_to_image(blend.final_t, tiles_x, tiles_y, tile_size,
+    final_t = tiles_to_image(tfinal_t, tiles_x, tiles_y, tile_size,
                              image_height, image_width)    # [H, W]
 
     color = color + final_t[..., None] * bg[None, None, :]
