@@ -78,22 +78,24 @@ def main():
     print("   total dup:", int(jnp.sum(binning.counts)),
           "max/tile:", int(jnp.max(binning.counts)), flush=True)
 
-    blend_f = jax.jit(lambda: blend_tiles(
-        binning.idx, pre.means2d, pre.conics, pre.rgb, pre.opacity,
-        pre.depths, tiles_x, tiles_y, 16, k_chunk=128))
-    timeit("blend fwd", blend_f)
 
-    def blend_loss():
-        b = blend_tiles(binning.idx, pre.means2d, pre.conics, pre.rgb,
-                        pre.opacity, pre.depths, tiles_x, tiles_y, 16,
-                        k_chunk=128)
-        return b.color.sum() + b.final_t.sum()
-    timeit("blend fwd (loss reduce)", jax.jit(blend_loss))
-    g_blend = jax.jit(jax.grad(
-        lambda m2d: blend_tiles(binning.idx, m2d, pre.conics, pre.rgb,
-                                pre.opacity, pre.depths, tiles_x, tiles_y,
-                                16, k_chunk=128).color.sum()))
-    timeit("blend fwd+bwd(means2d)", g_blend, pre.means2d)
+    # adam updates
+    sp_params, sp_stats = None, None
+    from splatfields_tpu.models import splats as S
+    pts_np = np.asarray(means)
+    sp_params, sp_stats = S.create_from_pcd(pts_np, np.abs(pts_np), 0,
+                                            capacity=n)
+    sp_opt = S.adam_init(sp_params)
+    lrs = S.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
+    g_like = jax.tree.map(jnp.ones_like, sp_params)
+    timeit("splat adam update", jax.jit(
+        lambda p, g, o: S.adam_update(p, g, o, lrs)[0].xyz.sum()),
+        sp_params, g_like, sp_opt)
+    f_grads = jax.tree.map(jnp.ones_like, fv["params"])
+    f_opt = S.adam_init(fv["params"])
+    timeit("field adam update", jax.jit(
+        lambda p, g, o: jax.tree.leaves(S.adam_update(p, g, o, 1e-3)[0])[0].sum()),
+        fv["params"], f_grads, f_opt)
 
     rast = jax.jit(lambda m, s, q, o, c: rasterize(
         m, s, q, o, w2v, full, campos, bg, tanfov, tanfov, width, height,

@@ -82,12 +82,18 @@ def bin_gaussians(
 
     xmin, ymin, xmax, ymax = tile_rects(means2d, radii, tiles_x, tiles_y,
                                         tile_size)
-    s_xmin, s_ymin = xmin[order], ymin[order]
-    s_xmax, s_ymax = xmax[order], ymax[order]
-    span_x = jnp.maximum(s_xmax - s_xmin, 0)
-    span_y = jnp.maximum(s_ymax - s_ymin, 0)
-    counts_per_g = jnp.where(visible[order], span_x * span_y, 0)
-    ends = jnp.cumsum(counts_per_g)            # inclusive cumsum
+    span_x_u = jnp.maximum(xmax - xmin, 0)
+    span_y_u = jnp.maximum(ymax - ymin, 0)
+    counts_u = jnp.where(visible, span_x_u * span_y_u, 0)
+    # pack the per-gaussian duplication data into ONE row matrix so every
+    # later lookup is a single row gather (TPU gathers fetch a whole
+    # (8,128) tile per index — per-attribute gathers are ~5x the traffic)
+    own_id = jnp.arange(n, dtype=jnp.int32)
+    row_data = jnp.stack(
+        [xmin, ymin, jnp.maximum(span_x_u, 1), own_id, counts_u], axis=1)
+    s_rows = row_data[order]            # depth-sorted [N, 5]
+    counts_per_g = jnp.where(visible[order], s_rows[:, 4], 0)
+    ends = jnp.cumsum(counts_per_g)     # inclusive cumsum
     total = ends[-1]
     starts = ends - counts_per_g
 
@@ -98,20 +104,21 @@ def bin_gaussians(
     # (nonzero-span) gaussian's index at its start offset, then a prefix
     # max (a 17-step binary search costs ~94 ms at this size; one small
     # scatter + scan ~20 ms). Starts of nonzero-span gaussians are unique.
-    src = jnp.arange(n, dtype=jnp.int32)
     marks = jnp.zeros((dup_cap,), jnp.int32)
     marks = marks.at[
         jnp.where(counts_per_g > 0, starts, dup_cap)
-    ].max(src + 1, mode="drop")
+    ].max(own_id + 1, mode="drop")
     g = jax.lax.cummax(marks) - 1
     g = jnp.clip(g, 0, n - 1)
-    rank = d - starts[g]
-    sx = jnp.maximum(span_x[g], 1)
-    tx = s_xmin[g] + rank % sx
-    ty = s_ymin[g] + rank // sx
+    s_rows6 = jnp.concatenate([s_rows, starts[:, None]], axis=1)
+    dup_rows = s_rows6[g]               # ONE row gather [dup_cap, 6]
+    rank = d - dup_rows[:, 5]
+    sx = dup_rows[:, 2]
+    tx = dup_rows[:, 0] + rank % sx
+    ty = dup_rows[:, 1] + rank // sx
     dup_valid = d < total
     tile = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)  # sentinel last
-    gauss_id = jnp.where(dup_valid, order[g], -1)
+    gauss_id = jnp.where(dup_valid, dup_rows[:, 3], -1)
 
     # --- stable sort by tile (depth order preserved within tile) ---
     sorted_tile, sorted_id = jax.lax.sort(

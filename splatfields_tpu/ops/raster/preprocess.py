@@ -99,15 +99,27 @@ def preprocess(
     # cov2d = A cov3d A^T with A = J @ R_w2v. viewmatrix is stored
     # transposed (p_view_row = p_row @ Wm), so R_w2v[k, c] = Wm[c, k] and
     # (J @ R_w2v)[i, c] = sum_k J[i, k] * Wm[c, k] — i.e. columns of Wm.
+    # Unrolled elementwise (batched 3x3 einsums hit the slow tiny-matmul
+    # path on TPU).
     Wm = viewmatrix[:3, :3].astype(f32)
     A0 = j00[:, None] * Wm[None, :, 0] + j02[:, None] * Wm[None, :, 2]  # [N, 3]
     A1 = j11[:, None] * Wm[None, :, 1] + j12[:, None] * Wm[None, :, 2]  # [N, 3]
-    A = jnp.stack([A0, A1], axis=1)  # [N, 2, 3]
-    cov2d = jnp.einsum("nij,njk,nlk->nil", A, cov3d, A, precision="highest")
 
-    cxx = cov2d[:, 0, 0] + 0.3
-    cyy = cov2d[:, 1, 1] + 0.3
-    cxy = cov2d[:, 0, 1]
+    # B_r = cov3d @ A_r^T computed per component: B_r[:, k] = sum_j S[k,j] A_r[:, j]
+    def quad(a, b):
+        # a^T cov3d b for row vectors a, b: sum_{k,j} a_k S_kj b_j
+        return (
+            a[:, 0] * (cov3d[:, 0, 0] * b[:, 0] + cov3d[:, 0, 1] * b[:, 1]
+                       + cov3d[:, 0, 2] * b[:, 2])
+            + a[:, 1] * (cov3d[:, 1, 0] * b[:, 0] + cov3d[:, 1, 1] * b[:, 1]
+                         + cov3d[:, 1, 2] * b[:, 2])
+            + a[:, 2] * (cov3d[:, 2, 0] * b[:, 0] + cov3d[:, 2, 1] * b[:, 1]
+                         + cov3d[:, 2, 2] * b[:, 2])
+        )
+
+    cxx = quad(A0, A0) + 0.3
+    cyy = quad(A1, A1) + 0.3
+    cxy = quad(A0, A1)
 
     det = cxx * cyy - cxy * cxy
     det_ok = det != 0.0

@@ -63,11 +63,19 @@ def build_scaling_rotation(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarr
 def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     """Full 3x3 covariance Sigma = L L^T with L = R diag(s).
 
-    Explicit f32 (``highest``) matmul precision: geometry math must not fall
-    back to the TPU's bf16 default or projected conics lose ~8 mantissa bits.
+    Unrolled elementwise (full f32; batched 3x3 matmuls both hit TPU's slow
+    tiny-matmul path and its bf16 default precision).
     """
     L = build_scaling_rotation(scales, quats)
-    return jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision="highest")
+
+    def sig(i, j):
+        return (L[..., i, 0] * L[..., j, 0] + L[..., i, 1] * L[..., j, 1]
+                + L[..., i, 2] * L[..., j, 2])
+
+    row0 = jnp.stack([sig(0, 0), sig(0, 1), sig(0, 2)], -1)
+    row1 = jnp.stack([sig(0, 1), sig(1, 1), sig(1, 2)], -1)
+    row2 = jnp.stack([sig(0, 2), sig(1, 2), sig(2, 2)], -1)
+    return jnp.stack([row0, row1, row2], -2)
 
 
 def covariance_lowertri(scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
