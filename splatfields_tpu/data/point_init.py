@@ -32,10 +32,26 @@ def _project_full(xyz: np.ndarray, full_proj: np.ndarray,
     return u, v, inb
 
 
-def mask_filter_points(xyz: np.ndarray, cameras: list) -> np.ndarray:
+def mask_filter_points(xyz: np.ndarray, cameras: list,
+                       use_native: bool = True) -> np.ndarray:
     """Keep points whose projection lands inside the mask of EVERY training
     camera (reference 'load' mode). ``cameras`` are host Camera objects with
-    full_proj_transform and mask [1,H,W] (or CameraInfo with .mask [H,W])."""
+    full_proj_transform and mask [1,H,W] (or CameraInfo with .mask [H,W]).
+
+    Uses the multithreaded C++ carver (splatfields_tpu/native) when the
+    toolchain is available; NumPy loop otherwise."""
+    if use_native:
+        try:
+            from splatfields_tpu import native
+            if native.available():
+                mats = np.stack([
+                    np.asarray(_camera_full_proj(c), np.float32)
+                    for c in cameras])
+                masks = [_camera_mask(c)[2] for c in cameras]
+                return native.carve_points(
+                    xyz.astype(np.float32), mats, masks, mode=0)
+        except Exception:
+            pass
     keep = np.ones(xyz.shape[0], bool)
     for cam in cameras:
         full = _camera_full_proj(cam)

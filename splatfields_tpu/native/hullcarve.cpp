@@ -80,9 +80,18 @@ void carve_points(const float* points, int64_t n_pts,
             ok = 0; break;
           }
           // round-half-to-even to match np.round exactly
-          const int32_t ui = (int32_t)std::nearbyintf(u);
-          const int32_t vi = (int32_t)std::nearbyintf(v);
-          if (ui < 0 || ui >= w || vi < 0 || vi >= h) { ok = 0; break; }
+          int32_t ui = (int32_t)std::nearbyintf(u);
+          int32_t vi = (int32_t)std::nearbyintf(v);
+          if (mode == 0) {
+            // Blender path: integer bounds after rounding (point_init.py)
+            if (ui < 0 || ui >= w || vi < 0 || vi >= h) { ok = 0; break; }
+          } else {
+            // NeuS path: float bounds, clipped lookup (readers/neus.py)
+            if (u < 0.f || u > (float)(w - 1) || v < 0.f ||
+                v > (float)(h - 1)) { ok = 0; break; }
+            ui = ui < 0 ? 0 : (ui >= w ? w - 1 : ui);
+            vi = vi < 0 ? 0 : (vi >= h ? h - 1 : vi);
+          }
           if (!mask[(int64_t)vi * w + ui]) { ok = 0; break; }
         }
         keep[i] = ok;
