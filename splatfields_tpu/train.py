@@ -70,7 +70,7 @@ def build_view_batch(cams, num_views, bg, with_mask, with_depth):
 
 def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
              save_iterations, args=None, quiet=False,
-             progress_callback=None):
+             progress_callback=None, resume=False):
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     is_static = model_cfg.is_static
@@ -138,8 +138,35 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
     viewpoint_stack = []
     t_start = time.time()
     times = []
+    start_iteration = 1
 
-    for iteration in range(1, opt_cfg.iterations + 1):
+    if resume and model_cfg.model_path:
+        from splatfields_tpu import checkpointing
+        template = {
+            "splat_params": params, "splat_stats": stats,
+            "splat_opt": splat_opt,
+            "field_vars": deform.variables if deform else {"params": {}},
+            "field_opt": deform.opt_state if deform
+            else splats_lib.adam_init({}),
+            "rng": rng,
+        }
+        restored = checkpointing.load_train_state(
+            model_cfg.model_path, template)
+        if restored is not None:
+            state, it0 = restored
+            params = state["splat_params"]
+            stats = state["splat_stats"]
+            splat_opt = state["splat_opt"]
+            if deform:
+                deform.variables = state["field_vars"]
+                deform.opt_state = state["field_opt"]
+            rng = state["rng"]
+            start_iteration = it0 + 1
+            active_sh = min((it0 // 1000), model_cfg.sh_degree) \
+                if enable_g_opt else 0
+            print(f"Resumed training state at iteration {it0}")
+
+    for iteration in range(start_iteration, opt_cfg.iterations + 1):
         if enable_g_opt and iteration % 1000 == 0:
             active_sh = min(active_sh + 1, model_cfg.sh_degree)
 
@@ -221,6 +248,14 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
             scene.save(iteration, params, stats)
             if deform:
                 deform.save_weights(model_cfg.model_path, iteration)
+            if model_cfg.model_path:
+                from splatfields_tpu import checkpointing
+                checkpointing.save_train_state(
+                    model_cfg.model_path, iteration, params, stats,
+                    splat_opt,
+                    deform.variables if deform else {"params": {}},
+                    deform.opt_state if deform else splats_lib.adam_init({}),
+                    rng)
         if progress_callback:
             progress_callback(iteration, out_loss, params, stats)
 
@@ -293,6 +328,8 @@ def main(argv=None):
                                  40000, 100_000, 200_000])
     parser.add_argument("--configs", type=str, default="")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue from the latest train_state ckpt")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
     if args.configs:
@@ -304,7 +341,7 @@ def main(argv=None):
     print("Optimizing " + model_cfg.model_path)
     training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
              args.test_iterations, args.save_iterations, args=args,
-             quiet=args.quiet)
+             quiet=args.quiet, resume=args.resume)
     print("\nTraining complete.")
 
 

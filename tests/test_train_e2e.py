@@ -194,3 +194,69 @@ class TestFieldTraining:
                  quiet=True,
                  progress_callback=lambda it, loss, p, s: losses.append(loss))
         assert np.isfinite(losses).all()
+
+
+class TestResumeAndRender:
+    def test_resume_continues(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+
+        mp = str(tmp_path / "resume_run")
+        args = base_args(blender_scene, mp,
+                         ["--is_static", "--iterations", "20",
+                          "--num_pts", "400"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 10
+        opt_cfg.densify_from_iter = 10_000
+        training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                 test_iterations=[], save_iterations=[10], args=args,
+                 quiet=True)
+        assert os.path.exists(os.path.join(mp, "train_state/iteration_10"))
+        # resume to 20
+        opt_cfg.iterations = 20
+        seen = []
+        training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                 test_iterations=[], save_iterations=[20], args=args,
+                 quiet=True, resume=True,
+                 progress_callback=lambda it, loss, p, s: seen.append(it))
+        assert seen[0] == 11 and seen[-1] == 20
+
+    def test_render_cli_end_to_end(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+        from splatfields_tpu.render import render_sets
+
+        mp = str(tmp_path / "render_run")
+        args = base_args(blender_scene, mp,
+                         ["--is_static", "--iterations", "15",
+                          "--num_pts", "400"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 15
+        opt_cfg.densify_from_iter = 10_000
+        training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                 test_iterations=[], save_iterations=[15], args=args,
+                 quiet=True)
+        results = render_sets(model_cfg, hidden_cfg, pipe_cfg, 15,
+                              skip_train=True)
+        assert "test" in results and "psnr" in results["test"]
+        out = os.path.join(mp, "test/ours_15")
+        assert os.path.exists(os.path.join(out, "results.yaml"))
+        assert os.path.exists(os.path.join(out, "renders/00000.png"))
+
+    def test_extract_geo_cli(self, blender_scene, tmp_path):
+        from splatfields_tpu.train import training
+        from splatfields_tpu.extract_geo import morans_report
+        from splatfields_tpu.scene import Scene
+
+        mp = str(tmp_path / "geo_run")
+        args = base_args(blender_scene, mp,
+                         ["--is_static", "--iterations", "5",
+                          "--num_pts", "300"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 5
+        opt_cfg.densify_from_iter = 10_000
+        training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                 test_iterations=[], save_iterations=[5], args=args,
+                 quiet=True)
+        scene = Scene(model_cfg, load_iteration=5, shuffle=False)
+        rep = morans_report(scene.splats, scene.splat_stats, None, 0)
+        assert "moran_scale" in rep
+        assert np.isfinite(list(rep.values())).all()
