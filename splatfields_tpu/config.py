@@ -21,7 +21,12 @@ from argparse import ArgumentParser
 from typing import List
 
 
-def _add_group(parser: ArgumentParser, cls, shorthand=()):
+def _add_group(parser: ArgumentParser, cls, shorthand=(), sentinel=False):
+    """``sentinel=True`` registers every flag with default None so only
+    explicitly-passed values survive — required for render/analysis CLIs
+    where the stored cfg_args must win over parser defaults (the
+    reference's ``ModelParams(parser, sentinel=True)`` mechanism,
+    ``arguments/__init__.py:22,55``)."""
     group = parser.add_argument_group(cls.__name__)
     for f in dataclasses.fields(cls):
         name = f.name
@@ -32,18 +37,22 @@ def _add_group(parser: ArgumentParser, cls, shorthand=()):
         flags = [f"--{name}"]
         if name in shorthand:
             flags.append(f"-{name[0]}")
+        reg_default = None if sentinel else default
         if f.type in ("bool", bool):
-            group.add_argument(*flags, default=default, action="store_true")
+            group.add_argument(*flags, default=reg_default,
+                               action="store_true")
         elif isinstance(default, list):
-            group.add_argument(*flags, default=default, nargs="+")
+            group.add_argument(*flags, default=reg_default, nargs="+")
         else:
-            group.add_argument(*flags, default=default, type=type(default))
+            group.add_argument(*flags, default=reg_default,
+                               type=type(default))
     return group
 
 
 def _extract(cls, args):
     fields = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in vars(args).items() if k in fields})
+    return cls(**{k: v for k, v in vars(args).items()
+                  if k in fields and v is not None})
 
 
 @dataclasses.dataclass
@@ -167,12 +176,13 @@ class OptimizationConfig:
     lambda_gradient: float = 0.0
 
 
-def build_parser(description="SplatFields-TPU"):
+def build_parser(description="SplatFields-TPU", sentinel=False):
     parser = ArgumentParser(description=description)
-    _add_group(parser, ModelConfig, shorthand=ModelConfig.SHORTHAND)
-    _add_group(parser, PipelineConfig)
-    _add_group(parser, HiddenConfig)
-    _add_group(parser, OptimizationConfig)
+    _add_group(parser, ModelConfig, shorthand=ModelConfig.SHORTHAND,
+               sentinel=sentinel)
+    _add_group(parser, PipelineConfig, sentinel=sentinel)
+    _add_group(parser, HiddenConfig, sentinel=sentinel)
+    _add_group(parser, OptimizationConfig, sentinel=sentinel)
     return parser
 
 

@@ -49,6 +49,7 @@ class RenderOut(NamedTuple):
     depth: jnp.ndarray    # [1, H, W] alpha-weighted view depth (unnormalized)
     alpha: jnp.ndarray    # [1, H, W] accumulated opacity (mask image)
     radii: jnp.ndarray    # [N] int32 screen radii (0 = invisible)
+    n_dropped: jnp.ndarray  # scalar: instances beyond the dup_cap budget
 
 
 @functools.partial(
@@ -146,4 +147,5 @@ def rasterize(
         depth=depth[None],
         alpha=(1.0 - final_t)[None],
         radii=pre.radii,
+        n_dropped=binning.n_dropped,
     )

@@ -111,7 +111,7 @@ def render_sets(model_cfg, hidden_cfg, pipe_cfg, iteration,
 
 
 def main(argv=None):
-    parser = cfg_lib.build_parser("SplatFields-TPU rendering")
+    parser = cfg_lib.build_parser("SplatFields-TPU rendering", sentinel=True)
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")

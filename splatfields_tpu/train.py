@@ -214,9 +214,16 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 params = dc.replace(params, xyz=jnp.asarray(m3d))
 
         ema_loss = 0.4 * out_loss + 0.6 * ema_loss
-        if not quiet and iteration % 100 == 0:
-            print(f"iter {iteration}: loss {ema_loss:.5f} "
-                  f"({np.mean(times[-50:]) * 1000:.1f} ms/it)", flush=True)
+        if iteration % 100 == 0:
+            dropped = int(out.loss_dict.get("bin_dropped", 0))
+            if dropped > 0:
+                print(f"WARNING iter {iteration}: {dropped} rasterizer "
+                      "instances beyond dup_cap were dropped — consider a "
+                      "larger --tile_cap/dup budget", flush=True)
+            if not quiet:
+                print(f"iter {iteration}: loss {ema_loss:.5f} "
+                      f"({np.mean(times[-50:]) * 1000:.1f} ms/it)",
+                      flush=True)
 
         # densification
         if enable_g_opt and iteration < opt_cfg.densify_until_iter:

@@ -259,6 +259,7 @@ def make_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
                     screenspace_offset=offsets[v]))
             loss, aux = compute_losses(outs, batch, attrs, opt_cfg,
                                        attrs["valid"])
+            aux["bin_dropped"] = sum(o.n_dropped for o in outs)
             last = outs[-1]
             return loss, (aux, last.radii, attrs["means3d"])
 
