@@ -108,15 +108,15 @@ def rasterize(
     tiles_x = -(-image_width // tile_size)
     tiles_y = -(-image_height // tile_size)
 
+    if blend_impl is None:
+        blend_impl = default_blend_impl()
     binning = bin_gaussians(
         jax.lax.stop_gradient(means2d),
         jax.lax.stop_gradient(pre.depths),
         pre.radii,
         tiles_x, tiles_y, tile_size, tile_cap=tile_cap, dup_cap=dup_cap,
+        build_table=(blend_impl != "pallas"),
     )
-
-    if blend_impl is None:
-        blend_impl = default_blend_impl()
     if blend_impl == "pallas":
         pack = pack_attributes(means2d, pre.conics, pre.rgb, pre.opacity,
                                pre.depths)

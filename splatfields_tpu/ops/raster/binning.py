@@ -56,10 +56,37 @@ def tile_rects(means2d: jnp.ndarray, radii: jnp.ndarray, tiles_x: int,
     return xmin, ymin, xmax, ymax
 
 
+def _cummax_2level(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 1-D cummax via a 2-level scan: row-wise log-step scan on a
+    [R, 128] reshape + a small cross-row carry (direct 1-D lax.cummax on
+    ~1M elements is lane-inefficient on TPU)."""
+    n = x.shape[0]
+    lanes = 128
+    rows = -(-n // lanes)
+    pad = rows * lanes - n
+    xp = jnp.pad(x, (0, pad), constant_values=jnp.iinfo(x.dtype).min
+                 if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
+    m = xp.reshape(rows, lanes)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    shift = 1
+    while shift < lanes:
+        rolled = jnp.roll(m, shift, axis=1)
+        m = jnp.where(col >= shift, jnp.maximum(m, rolled), m)
+        shift *= 2
+    row_tot = m[:, -1]
+    carry = jax.lax.cummax(row_tot)
+    carry_excl = jnp.concatenate(
+        [row_tot[:1] * 0 + (jnp.iinfo(x.dtype).min
+                            if jnp.issubdtype(x.dtype, jnp.integer)
+                            else -jnp.inf), carry[:-1]])
+    out = jnp.maximum(m, carry_excl[:, None])
+    return out.reshape(-1)[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap",
-                     "dup_cap"),
+                     "dup_cap", "build_table"),
 )
 def bin_gaussians(
     means2d: jnp.ndarray,   # [N, 2] pixel centers
@@ -70,6 +97,7 @@ def bin_gaussians(
     tile_size: int,
     tile_cap: int = 1024,
     dup_cap: int | None = None,
+    build_table: bool = True,
 ) -> BinningOut:
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -108,7 +136,7 @@ def bin_gaussians(
     marks = marks.at[
         jnp.where(counts_per_g > 0, starts, dup_cap)
     ].max(own_id + 1, mode="drop")
-    g = jax.lax.cummax(marks) - 1
+    g = _cummax_2level(marks) - 1
     g = jnp.clip(g, 0, n - 1)
     s_rows6 = jnp.concatenate([s_rows, starts[:, None]], axis=1)
     dup_rows = s_rows6[g]               # ONE row gather [dup_cap, 6]
@@ -130,11 +158,16 @@ def bin_gaussians(
     ).astype(jnp.int32)
     tile_count = tile_start[1:] - tile_start[:-1]  # [num_tiles]
 
-    pos = jnp.arange(tile_cap, dtype=jnp.int32)
-    gather_pos = tile_start[:-1, None] + pos[None, :]          # [T, cap]
-    in_range = pos[None, :] < tile_count[:, None]
-    gather_pos = jnp.minimum(gather_pos, dup_cap - 1)
-    idx = jnp.where(in_range, sorted_id[gather_pos], -1)
+    if build_table:
+        # dense [T, cap] id table — only the XLA blend needs it; the
+        # Pallas kernel reads the sorted array + ranges directly
+        pos = jnp.arange(tile_cap, dtype=jnp.int32)
+        gather_pos = tile_start[:-1, None] + pos[None, :]      # [T, cap]
+        in_range = pos[None, :] < tile_count[:, None]
+        gather_pos = jnp.minimum(gather_pos, dup_cap - 1)
+        idx = jnp.where(in_range, sorted_id[gather_pos], -1)
+    else:
+        idx = jnp.zeros((0, 0), jnp.int32)
 
     n_dropped = jnp.maximum(total - dup_cap, 0)
     return BinningOut(idx=idx, counts=tile_count, order=order,

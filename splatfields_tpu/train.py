@@ -114,6 +114,9 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
     if opt_cfg.all_training:
         num_views = min(opt_cfg.num_views, max(len(v) for v in by_fid.values()))
 
+    from splatfields_tpu.utils.metrics_writer import MetricsWriter
+    writer = MetricsWriter(model_cfg.model_path)
+
     rng = jax.random.PRNGKey(0)
     step_cache = {}
 
@@ -214,6 +217,15 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 params = dc.replace(params, xyz=jnp.asarray(m3d))
 
         ema_loss = 0.4 * out_loss + 0.6 * ema_loss
+        if iteration % 10 == 0:
+            log = {"train_loss_patches/total_loss": out_loss,
+                   "train_loss_patches/l1_loss": float(out.l1),
+                   "iter_time": times[-1] * 1000.0,
+                   "total_points": int(np.asarray(stats.valid).sum())}
+            for k, v in out.loss_dict.items():
+                if k not in ("l1",):
+                    log[f"train_loss_patches/{k}"] = v
+            writer.scalars(iteration, log)
         if iteration % 100 == 0:
             dropped = int(out.loss_dict.get("bin_dropped", 0))
             if dropped > 0:
@@ -267,6 +279,7 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
             progress_callback(iteration, out_loss, params, stats)
 
     total = time.time() - t_start
+    writer.close()
     if not quiet:
         print(f"Best PSNR = {best_psnr} at iteration {best_iter}")
         print(f"Total {total:.1f}s, mean step "

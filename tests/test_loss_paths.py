@@ -1,0 +1,102 @@
+"""Coverage for the lambda-loss paths not exercised by the e2e runs:
+mask, depth SSIM/L1, Moran (corr), norm variants, opacity prior."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from splatfields_tpu import config as cfg_lib
+from splatfields_tpu import train_lib
+from splatfields_tpu.models import splats as splats_lib
+from tests.test_raster import make_scene
+
+
+def build_batch(s, v=1, with_depth=True):
+    h, w = s["height"], s["width"]
+    rng = np.random.RandomState(0)
+    return {
+        "viewmatrix": jnp.asarray(np.stack([s["viewmatrix"]] * v)),
+        "projmatrix": jnp.asarray(np.stack([s["projmatrix"]] * v)),
+        "campos": jnp.asarray(np.stack([s["campos"]] * v)),
+        "tanfovx": jnp.full((v,), s["tanfovx"], jnp.float32),
+        "tanfovy": jnp.full((v,), s["tanfovy"], jnp.float32),
+        "fid": jnp.zeros((), jnp.float32),
+        "image": jnp.asarray(rng.rand(v, 3, h, w).astype(np.float32)),
+        "mask": jnp.asarray((rng.rand(v, 1, h, w) > 0.5).astype(np.float32)),
+        "depth": jnp.asarray(
+            (rng.rand(v, h, w) * 4 + 1).astype(np.float32)) if with_depth
+        else jnp.zeros((v, 1, 1)),
+        "bg": jnp.ones(3, jnp.float32),
+    }
+
+
+def run_step(opt_cfg, n=128, w=32, h=32):
+    s = make_scene(n=n, width=w, height=h)
+    params, stats = splats_lib.create_from_pcd(
+        s["means3d"], np.abs(s["colors_precomp"]), 0, capacity=n)
+    splat_opt = splats_lib.adam_init(params)
+    pipe = cfg_lib.PipelineConfig(tile_cap=64, k_chunk=32)
+    step = train_lib.make_train_step(
+        None, opt_cfg, pipe, w, h, num_views=1, field_mode=False,
+        n_frames=0, sh_degree=0)
+    lrs = splats_lib.splat_lr_tree(1e-4, 1e-3, 0.05, 1e-3, 1e-3)
+    out = step(params, stats, splat_opt, {"params": {}},
+               splats_lib.adam_init({}), build_batch(s), lrs,
+               jnp.asarray(0.0), jax.random.PRNGKey(0))
+    return out[5]
+
+
+class TestLossPaths:
+    def test_mask_and_opacity_losses(self):
+        opt = cfg_lib.OptimizationConfig(lambda_mask=0.1, lambda_opacity=0.05)
+        res = run_step(opt)
+        assert np.isfinite(float(res.loss))
+        assert "mask" in res.loss_dict and "opacity" in res.loss_dict
+        assert float(res.loss_dict["mask"]) > 0
+
+    def test_depth_losses(self):
+        opt = cfg_lib.OptimizationConfig(
+            lambda_mask=0.0, lambda_depth=0.1, lambda_depthl1=0.1)
+        res = run_step(opt)
+        assert "depth" in res.loss_dict and "depthl1" in res.loss_dict
+        assert np.isfinite(float(res.loss_dict["depth"]))
+        assert float(res.loss_dict["depthl1"]) > 0
+
+    def test_moran_corr_loss(self):
+        opt = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_corr=0.01)
+        res = run_step(opt, n=96)
+        assert np.isfinite(float(res.loss))
+
+    def test_norm_losses(self):
+        opt = cfg_lib.OptimizationConfig(
+            lambda_mask=0.0, lambda_norm=0.01, lambda_norm_mean=0.01)
+        res = run_step(opt)
+        assert np.isfinite(float(res.loss))
+
+    def test_n_splats_subsampling(self):
+        """Field mode with n_splats subsampling (reference train.py:56-62)."""
+        from splatfields_tpu.models.deform_model import DeformModel
+        s = make_scene(n=128, width=32, height=32)
+        params, stats = splats_lib.create_from_pcd(
+            s["means3d"], np.abs(s["colors_precomp"]), 0, capacity=128)
+        splat_opt = splats_lib.adam_init(params)
+        hidden = cfg_lib.HiddenConfig(encoder_type="none",
+                                      composition_rank=0, n_frames=0)
+        deform = DeformModel(hidden, radius=1.0)
+        opt = cfg_lib.OptimizationConfig(lambda_mask=0.0)
+        pipe = cfg_lib.PipelineConfig(tile_cap=64, k_chunk=32)
+        step = train_lib.make_train_step(
+            deform.net, opt, pipe, 32, 32, num_views=1, field_mode=True,
+            n_frames=0, sh_degree=0, n_splats=64)
+        lrs = splats_lib.splat_lr_tree(1e-4, 1e-3, 0.05, 1e-3, 1e-3)
+        out = step(params, stats, splat_opt, deform.variables,
+                   deform.opt_state, build_batch(s), lrs,
+                   jnp.asarray(1e-3), jax.random.PRNGKey(0))
+        res = out[5]
+        assert res.radii.shape == (64,)          # subsampled render
+        assert np.isfinite(float(res.loss))
+        # stats scattered back into full capacity
+        s2 = out[1]
+        assert s2.denom.shape == (128,)
+        assert float(s2.denom.sum()) > 0
