@@ -57,9 +57,16 @@ class GeneralMLP(nn.Module):
     n_frames: int = 100
 
     @nn.compact
-    def __call__(self, xyz, xyz_feat=None, frame_id=None):
+    def __call__(self, xyz, xyz_feat=None, frame_id=None, xyz_embedded=None):
+        """``xyz_embedded`` optionally supplies a precomputed positional
+        embedding of xyz at >= this head's multires (the leading columns
+        are exactly this head's embedding — the octave layout is a prefix
+        code), so the sin/cos sweep is shared across heads."""
         emb_in = self.in_features - 3 + embed_dim(self.multires, 3)
-        h_in = positional_embed(xyz, self.multires)
+        if xyz_embedded is not None and self.multires > 0:
+            h_in = xyz_embedded[:, : embed_dim(self.multires, xyz.shape[-1])]
+        else:
+            h_in = positional_embed(xyz, self.multires)
         if xyz_feat is not None:
             h_in = jnp.concatenate([h_in, xyz_feat], axis=-1)
 

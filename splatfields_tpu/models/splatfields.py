@@ -222,15 +222,30 @@ class SplatFields(nn.Module):
         if self.geo_model_disable_pts:
             geo_xyz, geo_feat = pts_feat, None
 
+        # one shared sin/cos sweep of xyz_can at the max multires of all
+        # consuming heads; each head slices its prefix (same math, ~5x
+        # fewer transcendentals per step)
+        can_emb = None
+        if not self.geo_model_disable_pts:
+            from splatfields_tpu.models.mlp import positional_embed as _pe
+            max_mr = max(self.rgb_multires, self.scale_multires,
+                         self.opacity_multires, self.rotation_multires,
+                         self.flow_multires if self.n_frames > 0 else 0)
+            can_emb = _pe(xyz_can, max_mr)
+
         out: Dict[str, Any] = {}
         out["scales"] = self.mlp_scale(xyz=geo_xyz, xyz_feat=geo_feat,
-                                       frame_id=frame_id)
+                                       frame_id=frame_id,
+                                       xyz_embedded=can_emb)
         out["opacity"] = self.mlp_opacity(xyz=geo_xyz, xyz_feat=geo_feat,
-                                          frame_id=frame_id)
+                                          frame_id=frame_id,
+                                          xyz_embedded=can_emb)
         out["rotations"] = self.mlp_rotation(xyz=geo_xyz, xyz_feat=geo_feat,
-                                             frame_id=frame_id)
+                                             frame_id=frame_id,
+                                             xyz_embedded=can_emb)
 
-        rgb = self.mlp_rgb(xyz=xyz_can, xyz_feat=pts_feat, frame_id=frame_id)
+        rgb = self.mlp_rgb(xyz=xyz_can, xyz_feat=pts_feat, frame_id=frame_id,
+                           xyz_embedded=can_emb)
         if self.use_view_dep_rgb:
             if self.is_initializing():
                 # materialize the view-dependent head's params (it is only
@@ -243,7 +258,7 @@ class SplatFields(nn.Module):
 
         if self.n_frames > 0:
             hidden = self.mlp_flow(xyz=xyz_can, xyz_feat=pts_feat,
-                                   frame_id=frame_id)
+                                   frame_id=frame_id, xyz_embedded=can_emb)
             flow, means3d = self.flow_head(
                 hidden=hidden, pts=xyz_can, time_step=time_step,
                 frame_id=frame_id)

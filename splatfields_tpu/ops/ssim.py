@@ -26,20 +26,26 @@ def _gaussian_kernel(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _filter2d_same(img: jnp.ndarray, k1d: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable 'same' (zero-padded) filter over [C, H, W]."""
-    c = img.shape[0]
-    pad = k1d.shape[0] // 2
-    x = img[None]  # [1, C, H, W]
-    kh = jnp.broadcast_to(k1d[None, None, :, None], (c, 1, k1d.shape[0], 1))
-    kw = jnp.broadcast_to(k1d[None, None, None, :], (c, 1, 1, k1d.shape[0]))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn,
-        feature_group_count=c)
-    return x[0]
+    """Separable 'same' (zero-padded) Gaussian filter over [C, H, W].
+
+    Shift-and-add instead of depthwise conv: 11 shifted scaled adds per
+    axis are pure VPU work; TPU depthwise convolutions lower poorly.
+    """
+    ksize = k1d.shape[0]
+    pad = ksize // 2
+    c, h, w = img.shape
+
+    def filt_axis(x, axis):
+        size = x.shape[axis]
+        padded = jnp.pad(
+            x, [(0, 0) if a != axis else (pad, pad) for a in range(x.ndim)])
+        out = jnp.zeros_like(x)
+        for i in range(ksize):
+            sl = jax.lax.slice_in_dim(padded, i, i + size, axis=axis)
+            out = out + k1d[i] * sl
+        return out
+
+    return filt_axis(filt_axis(img, 1), 2)
 
 
 @functools.partial(jax.jit, static_argnames=("window_size", "size_average"))
