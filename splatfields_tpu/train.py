@@ -350,6 +350,9 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="continue from the latest train_state ckpt")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of iterations "
+                             "20-30 into <model_path>/trace")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
     if args.configs:
@@ -359,9 +362,21 @@ def main(argv=None):
 
     model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
     print("Optimizing " + model_cfg.model_path)
+    progress_callback = None
+    if args.profile and model_cfg.model_path:
+        trace_dir = os.path.join(model_cfg.model_path, "trace")
+
+        def progress_callback(it, loss, p, s):
+            if it == 20:
+                jax.profiler.start_trace(trace_dir)
+            elif it == 30:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {trace_dir}")
+
     training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
              args.test_iterations, args.save_iterations, args=args,
-             quiet=args.quiet, resume=args.resume)
+             quiet=args.quiet, resume=args.resume,
+             progress_callback=progress_callback)
     print("\nTraining complete.")
 
 
