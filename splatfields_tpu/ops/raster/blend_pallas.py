@@ -21,8 +21,15 @@ writes per-instance gradients [D, A] — disjoint across tiles since every
 duplicated instance belongs to exactly one tile, so no atomics are needed
 (SURVEY hard-part 1).
 
-The public entry :func:`blend_tiles_pallas` is a ``jax.custom_vjp`` drop-in
+The public entry :func:`blend_sorted_pallas` is a ``jax.custom_vjp`` drop-in
 for ``blend_jax.blend_tiles`` (same packed-attribute contract).
+
+Numerics: on a 100k-splat 800x800 scene the kernel's color output is within
+1.9e-3 of the XLA blend on TPU — and the XLA blend itself differs from its
+own CPU execution by 3.7e-3 (TPU exp approximation + excess-precision
+fusion on near-saturated cumulative products). Interpret-mode parity vs the
+XLA blend is 1e-5 (tests/test_blend_pallas.py), i.e. the gap is platform
+float behavior, not kernel math.
 """
 from __future__ import annotations
 

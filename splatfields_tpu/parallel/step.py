@@ -30,8 +30,14 @@ from jax import shard_map
 
 from splatfields_tpu import train_lib
 from splatfields_tpu.models import splats as splats_lib
+from splatfields_tpu.ops.raster.api import default_blend_impl
 from splatfields_tpu.ops.raster.binning import bin_gaussians
-from splatfields_tpu.ops.raster.blend_jax import blend_tiles, tiles_to_image
+from splatfields_tpu.ops.raster.blend_jax import (
+    blend_tiles,
+    pack_attributes,
+    tiles_to_image,
+)
+from splatfields_tpu.ops.raster.blend_pallas import blend_sorted_pallas
 from splatfields_tpu.ops.raster.preprocess import preprocess
 from splatfields_tpu.ops.ssim import ssim as ssim_fn
 
@@ -70,11 +76,13 @@ def sharded_render_loss(attrs_local, batch_local, opt_cfg, pipe_cfg,
             campos=batch_local["campos"][v],
             valid_mask=attrs["valid"],
         )
+        impl = default_blend_impl()
         binning = bin_gaussians(
             jax.lax.stop_gradient(pre.means2d),
             jax.lax.stop_gradient(pre.depths),
             pre.radii, tiles_x, tiles_y, tile_size,
-            tile_cap=pipe_cfg.tile_cap)
+            tile_cap=pipe_cfg.tile_cap,
+            build_table=(impl != "pallas"))
         # local slice of the tile grid: ranges + counts for t_loc tiles
         start = my_model * t_loc
         start_c = jnp.minimum(start, num_tiles - 1)
@@ -88,17 +96,29 @@ def sharded_render_loss(attrs_local, batch_local, opt_cfg, pipe_cfg,
         local_counts = jnp.where(
             jnp.arange(t_loc) < n_real, local_counts, 0)
         local_ids = start_c + jnp.arange(t_loc, dtype=jnp.int32)
-        blend = blend_tiles(
-            binning.sorted_id, local_starts, local_counts,
-            pre.means2d, pre.conics, pre.rgb, pre.opacity,
-            pre.depths, tiles_x, tiles_y, tile_size,
-            tile_cap=pipe_cfg.tile_cap,
-            k_chunk=pipe_cfg.k_chunk, tile_ids=local_ids)
+        if impl == "pallas":
+            pack = pack_attributes(pre.means2d, pre.conics, pre.rgb,
+                                   pre.opacity, pre.depths)
+            sorted_pack = pack[jnp.maximum(binning.sorted_id, 0)]
+            color_t, _depth_t, tfinal_t = blend_sorted_pallas(
+                sorted_pack, local_starts, local_counts,
+                tiles_x, tiles_y, tile_size, pipe_cfg.tile_cap,
+                pipe_cfg.k_chunk, False)
+            local_color = jnp.transpose(color_t, (0, 2, 1))
+            local_t = tfinal_t
+        else:
+            blend = blend_tiles(
+                binning.sorted_id, local_starts, local_counts,
+                pre.means2d, pre.conics, pre.rgb, pre.opacity,
+                pre.depths, tiles_x, tiles_y, tile_size,
+                tile_cap=pipe_cfg.tile_cap,
+                k_chunk=pipe_cfg.k_chunk, tile_ids=local_ids)
+            local_color, local_t = blend.color, blend.final_t
         # gather tile buffers -> full image (VJP scatters back)
         color_tiles = jax.lax.all_gather(
-            blend.color, "model", tiled=True)[:num_tiles]
+            local_color, "model", tiled=True)[:num_tiles]
         t_tiles = jax.lax.all_gather(
-            blend.final_t, "model", tiled=True)[:num_tiles]
+            local_t, "model", tiled=True)[:num_tiles]
         color = tiles_to_image(color_tiles, tiles_x, tiles_y, tile_size,
                                height, width)
         final_t = tiles_to_image(t_tiles, tiles_x, tiles_y, tile_size,
