@@ -260,3 +260,120 @@ class TestResumeAndRender:
         rep = morans_report(scene.splats, scene.splat_stats, None, 0)
         assert "moran_scale" in rep
         assert np.isfinite(list(rep.values())).all()
+
+
+@pytest.fixture(scope="module")
+def dynamic_scene(tmp_path_factory):
+    """Synthetic 3-frame dynamic dataset (Owlii-style time conditioning in
+    Blender format): GT splats translate over time."""
+    import PIL.Image
+    from splatfields_tpu.data.readers.blender import (
+        read_cameras_from_transforms_cv)
+    from splatfields_tpu.data.cameras import load_cam
+    from splatfields_tpu.ops.raster.api import rasterize
+
+    root = tmp_path_factory.mktemp("dyn") / "lego"
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+    res = 48
+    fov = 0.8
+    n_frames = 3
+
+    def frames_for(split, thetas):
+        out = []
+        i = 0
+        for t in range(n_frames):
+            for th in thetas:
+                out.append({
+                    "file_path": f"./{split}/r_{i}",
+                    "time": t / (n_frames - 1),
+                    "transform_matrix": _make_pose(th, 0.5, 4.0).tolist(),
+                })
+                i += 1
+        return out
+
+    for split, thetas in (("train", [0.0, 2.1, 4.2]), ("test", [1.0])):
+        with open(root / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": fov,
+                       "frames": frames_for(split, thetas)}, f)
+        blank = __import__("PIL.Image", fromlist=["Image"]).fromarray(
+            np.zeros((res, res, 4), np.uint8))
+        for i in range(len(thetas) * n_frames):
+            blank.save(root / split / f"r_{i}.png")
+
+    rng = np.random.RandomState(3)
+    n = 200
+    base = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    scales = (0.04 + 0.04 * rng.rand(n, 3)).astype(np.float32)
+    rots = rng.randn(n, 4).astype(np.float32)
+    ops = rng.uniform(0.5, 0.95, n).astype(np.float32)
+    cols = rng.rand(n, 3).astype(np.float32)
+
+    for split in ("train", "test"):
+        infos, _ = read_cameras_from_transforms_cv(
+            str(root), f"transforms_{split}.json", True)
+        for i, info in enumerate(infos):
+            cam = load_cam(info, -1, i, 1.0, max_resolution=res)
+            shift = np.array([0.25 * cam.fid, 0.0, 0.0], np.float32)
+            out = rasterize(
+                jnp.asarray(base + shift), jnp.asarray(scales),
+                jnp.asarray(rots), jnp.asarray(ops),
+                jnp.asarray(cam.world_view_transform),
+                jnp.asarray(cam.full_proj_transform),
+                jnp.asarray(cam.camera_center),
+                jnp.asarray(np.ones(3, np.float32)),
+                cam.tanfovx, cam.tanfovy, cam.image_width, cam.image_height,
+                colors_precomp=jnp.asarray(cols), tile_cap=256, k_chunk=64)
+            rgb = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
+            alpha = np.clip(np.asarray(out.alpha)[0], 0, 1)
+            rgba = np.concatenate([rgb, alpha[..., None]], -1)
+            __import__("PIL.Image", fromlist=["Image"]).fromarray(
+                (rgba * 255).astype(np.uint8)).save(
+                root / split / f"r_{i}.png")
+    return str(root)
+
+
+class TestDynamicTraining:
+    def test_4d_field_with_resfields_and_flow(self, dynamic_scene, tmp_path):
+        """Dynamic (n_frames=3) training: time embedding + ResFields rank +
+        offset flow head through the full loop (Owlii-protocol shape)."""
+        from splatfields_tpu.train import training
+
+        parser = cfg_lib.build_parser()
+        parser.add_argument("--test_iterations", nargs="+", type=int,
+                            default=[])
+        parser.add_argument("--save_iterations", nargs="+", type=int,
+                            default=[])
+        args = parser.parse_args([
+            "-s", dynamic_scene, "-m", str(tmp_path / "dyn_run"),
+            "--white_background", "--eval", "--load_time_step", "3",
+            "--flow_model", "offset", "--all_training",
+            "--encoder_type", "none", "--num_pts", "300",
+            "--composition_rank", "2", "--n_views", "9",
+            "--pts_samples", "hull", "--tile_cap", "128", "--k_chunk", "32",
+            "--iterations", "12",
+        ])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 12
+        opt_cfg.num_views = 2
+        opt_cfg.densify_from_iter = 10_000
+        losses = []
+        params, stats, deform, _ = training(
+            model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+            test_iterations=[], save_iterations=[12], args=args, quiet=True,
+            progress_callback=lambda it, loss, p, s: losses.append(loss))
+        assert np.isfinite(losses).all()
+        assert deform.n_frames == 3
+        # the field net has temporal ResField params
+        flat = jax.tree_util.tree_flatten_with_path(
+            deform.variables["params"])[0]
+        names = ["/".join(str(k) for k in path) for path, _ in flat]
+        assert any("weights_t" in n for n in names)
+        # different fids give different splat positions (flow active)
+        xyz = jnp.asarray(np.asarray(params.xyz)[np.asarray(stats.valid)])
+        t0 = jnp.zeros((xyz.shape[0], 1))
+        t1 = jnp.ones((xyz.shape[0], 1))
+        r0 = deform.net.apply(deform.variables, xyz, t0)
+        r1 = deform.net.apply(deform.variables, xyz, t1)
+        assert np.abs(np.asarray(r0["means3D"])
+                      - np.asarray(r1["means3D"])).max() > 1e-5
