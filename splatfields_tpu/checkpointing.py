@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any
-
 import flax.serialization
 import jax
 import numpy as np

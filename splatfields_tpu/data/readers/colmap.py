@@ -12,7 +12,6 @@ Parity targets (reference ``scene/dataset_readers.py``):
 from __future__ import annotations
 
 import os
-from pathlib import Path
 
 import numpy as np
 

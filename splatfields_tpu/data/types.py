@@ -7,7 +7,7 @@ NumPy only — the device side receives stacked arrays, not these objects.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

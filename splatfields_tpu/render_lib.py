@@ -5,7 +5,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from splatfields_tpu import train_lib
 from splatfields_tpu.models import splats as splats_lib

@@ -25,9 +25,7 @@ the [1, H, W] depth map instead; no released config enables lambda_depth.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
