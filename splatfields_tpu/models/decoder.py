@@ -69,7 +69,7 @@ class TimeConv(nn.Module):
             # scaled by 0.01 — statistically identical for kaiming-normal.
             scale = 0.0 if self.zero_init else 0.01
             fw_init = (zeros_init if self.zero_init
-                       else normal_scaled(scale * float(jnp.sqrt(
+                       else normal_scaled(scale * float(np.sqrt(
                            2.0 / (self.kernel * self.kernel * self.features)))))
             frame_w = self.param(
                 "frame_weights", fw_init,

@@ -100,3 +100,46 @@ class TestLossPaths:
         s2 = out[1]
         assert s2.denom.shape == (128,)
         assert float(s2.denom.sum()) > 0
+
+
+class TestFieldVariantsInStep:
+    def _field_step(self, hidden_kw, n_frames=0, fid=0.0):
+        from splatfields_tpu.models.deform_model import DeformModel
+        s = make_scene(n=96, width=32, height=32)
+        params, stats = splats_lib.create_from_pcd(
+            s["means3d"], np.abs(s["colors_precomp"]), 0, capacity=96)
+        splat_opt = splats_lib.adam_init(params)
+        hidden = cfg_lib.HiddenConfig(composition_rank=0, n_frames=n_frames,
+                                      **hidden_kw)
+        deform = DeformModel(hidden, radius=1.0)
+        opt = cfg_lib.OptimizationConfig(lambda_mask=0.0)
+        pipe = cfg_lib.PipelineConfig(tile_cap=64, k_chunk=32)
+        step = train_lib.make_train_step(
+            deform.net, opt, pipe, 32, 32, num_views=1, field_mode=True,
+            n_frames=n_frames, sh_degree=0)
+        lrs = splats_lib.splat_lr_tree(1e-4, 1e-3, 0.05, 1e-3, 1e-3)
+        batch = build_batch(s)
+        batch["fid"] = jnp.asarray(fid, jnp.float32)
+        out = step(params, stats, splat_opt, deform.variables,
+                   deform.opt_state, batch, lrs, jnp.asarray(1e-3),
+                   jax.random.PRNGKey(0))
+        return out[5]
+
+    def test_view_dep_rgb_in_step(self):
+        res = self._field_step({"encoder_type": "none",
+                                "use_view_dep_rgb": True})
+        assert np.isfinite(float(res.loss))
+
+    def test_geo_model_disable_pts_in_step(self):
+        res = self._field_step({"encoder_type": "VarTriPlaneEncoder",
+                                "encoder_args": {"noise_res": 4},
+                                "geo_model_disable_pts": True})
+        assert np.isfinite(float(res.loss))
+
+    def test_per_frame_strategy_dynamic_step(self):
+        res = self._field_step({"encoder_type": "VarTriPlaneEncoder",
+                                "encoder_args": {"noise_res": 4},
+                                "layer_strategy": "per_frame",
+                                "flow_model": "se3"},
+                               n_frames=3, fid=0.5)
+        assert np.isfinite(float(res.loss))
