@@ -211,7 +211,8 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x, tiles_y,
 
 
 def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
-                g_depth_ref, g_tfinal_ref, tfinal_ref, grad_init_hbm,
+                g_depth_ref, g_tfinal_ref, tfinal_ref, color_ref,
+                depth_out_ref, grad_init_hbm,
                 grad_hbm, chunk_vmem, grad_vmem, sem_in, sem_out, *,
                 tiles_x: int, tile_size: int, k: int, tile_cap: int):
     """Backward per tile: front-to-back replay with suffix accumulators.
@@ -221,6 +222,9 @@ def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
                   - (S_c_i . gC + S_d_i . gD + Tf*gT) / (1-alpha_i) ]
     where S_*_i are the sums over applied j > i (computed as running
     "behind" accumulators, updated front-to-back: S_i = total - prefix_i).
+    The totals come for free from the saved forward outputs:
+    tot_c = sum_i w_i (c_i . gC) = C_out . gC and tot_d = D_out * gD — so
+    the backward is a single front-to-back replay (no totals pre-pass).
     """
     t = pl.program_id(0)
     p = tile_size * tile_size
@@ -235,29 +239,9 @@ def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
     gT = g_tfinal_ref[0]      # [1, P]
     t_fin = tfinal_ref[0]     # [1, P]
 
-    # total applied sums: C and D themselves; recompute via full pass —
-    # instead accumulate suffix-from-behind: first pass computes totals.
-    def total_pass(state):
-        c, t_full, acc_c, acc_d = state
-        off = start + c * k
-        dma = pltpu.make_async_copy(
-            pack_hbm.at[pl.ds(off, k), :], chunk_vmem, sem_in)
-        dma.start()
-        dma.wait()
-        attrs = chunk_vmem[:, :]
-        row = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        attrs = jnp.where(
-            jnp.broadcast_to((c * k + row) < count, attrs.shape), attrs, 0.0)
-        alpha, s, t_excl = _chunk_alpha(attrs, px, py, t_full, k, p)
-        live = s >= _T_EPS
-        w = alpha * t_excl * live.astype(jnp.float32)
-        # weighted-color rows against gC: accumulate (w_j c_j . gC)
-        cdot = jax.lax.dot_general(
-            attrs[:, 6:9], gC, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [K, P]
-        acc_c += jnp.sum(w * cdot, axis=0, keepdims=True)
-        acc_d += jnp.sum(w * attrs[:, 9:10] * gD, axis=0, keepdims=True)
-        return c + 1, s[-1:, :], acc_c, acc_d
+    # closed-form totals from the saved forward outputs
+    tot_c = jnp.sum(color_ref[0] * gC, axis=0, keepdims=True)  # [1, P]
+    tot_d = depth_out_ref[0] * gD                               # [1, P]
 
     def total_cond(state):
         c, t_full, *_ = state
@@ -265,8 +249,6 @@ def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
 
     ones = jnp.ones((1, p), jnp.float32)
     zeros = jnp.zeros((1, p), jnp.float32)
-    _, _, tot_c, tot_d = jax.lax.while_loop(
-        total_cond, total_pass, (jnp.int32(0), ones, zeros, zeros))
 
     # second pass: prefix accumulators -> suffix = total - prefix(<=i)
     def bwd_pass(state):
@@ -345,8 +327,8 @@ def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
                      "k_chunk", "interpret"),
 )
 def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
-                      g_tfinal, tfinal, tiles_x, tiles_y, tile_size,
-                      tile_cap, k_chunk, interpret=False):
+                      g_tfinal, tfinal, color, depth_out, tiles_x, tiles_y,
+                      tile_size, tile_cap, k_chunk, interpret=False):
     num_tiles = counts.shape[0]
     p = tile_size * tile_size
     k = k_chunk
@@ -371,6 +353,10 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # fwd color
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),      # fwd depth
             pl.BlockSpec(memory_space=pltpu.ANY),       # grad init (alias)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grads (HBM)
@@ -388,7 +374,7 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d_total, _AP), jnp.float32),
-        input_output_aliases={7: 0},
+        input_output_aliases={9: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(tile_start[:num_tiles], counts, sorted_pack,
@@ -396,6 +382,8 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
       g_depth.reshape(num_tiles, 1, p),
       g_tfinal.reshape(num_tiles, 1, p),
       tfinal.reshape(num_tiles, 1, p),
+      color.reshape(num_tiles, 3, p),
+      depth_out.reshape(num_tiles, 1, p),
       grad_init)
     return grads[:d_real, :_A]
 
@@ -418,16 +406,17 @@ def _fwd_rule(sorted_pack, tile_start, counts, tiles_x, tiles_y, tile_size,
               tile_cap, k_chunk, interpret):
     out = _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x,
                             tiles_y, tile_size, tile_cap, k_chunk, interpret)
-    return out, (sorted_pack, tile_start, counts, out[2])
+    return out, (sorted_pack, tile_start, counts, out[2], out[0], out[1])
 
 
 def _bwd_rule(tiles_x, tiles_y, tile_size, tile_cap, k_chunk, interpret,
               res, g):
-    sorted_pack, tile_start, counts, tfinal = res
+    sorted_pack, tile_start, counts, tfinal, color, depth_out = res
     g_color, g_depth, g_tfinal = g
     grads = _blend_bwd_pallas(
         sorted_pack, tile_start, counts, g_color, g_depth, g_tfinal,
-        tfinal, tiles_x, tiles_y, tile_size, tile_cap, k_chunk, interpret)
+        tfinal, color, depth_out, tiles_x, tiles_y, tile_size, tile_cap,
+        k_chunk, interpret)
     return grads, None, None
 
 
