@@ -156,9 +156,15 @@ def blend_tiles(
     pack = pack_attributes(means2d, conics, rgb, opacity, depths)  # [N, A]
     safe_sid = jnp.maximum(sorted_id, 0)
     sorted_pack = pack[safe_sid]  # [D, A]
+    # pad by one table width so per-tile block slices never clamp: a
+    # clamped start would silently read the WRONG range (e.g. every tile
+    # reading from row 0 when dup_cap <= tile_cap)
+    sorted_pack = jnp.concatenate(
+        [sorted_pack, jnp.zeros((cap, sorted_pack.shape[1]),
+                                sorted_pack.dtype)], axis=0)
 
     # --- dense per-tile table via contiguous block slices ---
-    starts = jnp.clip(tile_start[:num_tiles], 0, max(d_total - cap, 0))
+    starts = jnp.minimum(tile_start[:num_tiles], d_total)
 
     def row(s):
         return jax.lax.dynamic_slice(sorted_pack, (s, 0), (cap, pack.shape[1]))

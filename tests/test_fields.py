@@ -353,3 +353,41 @@ class TestAuxGenerators:
         v = m.init(jax.random.PRNGKey(33), z)
         y = m.apply(v, z)
         assert y.shape == (1, 12, 12, 16)
+
+
+class TestEncoderTypesViaDeformModel:
+    """Every registered encoder_type constructs and runs through the
+    DeformModel wrapper (the CLI path)."""
+
+    def _run(self, enc_type, enc_args=None, n_frames=0):
+        from splatfields_tpu import config as cfg_lib
+        from splatfields_tpu.models.deform_model import DeformModel
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type=enc_type, composition_rank=0, n_frames=n_frames,
+            encoder_args=enc_args or {})
+        deform = DeformModel(hidden, radius=1.0)
+        xyz = jnp.asarray(np.random.RandomState(40).uniform(
+            -1, 1, (7, 3)).astype(np.float32))
+        t = (jnp.full((7, 1), 0.5) if n_frames > 0 else None)
+        if t is not None:
+            out = deform.net.apply(deform.variables, xyz, t)
+        else:
+            out = deform.net.apply(deform.variables, xyz)
+        assert out["scales"].shape == (7, 3)
+        assert np.isfinite(np.asarray(out["means3D"])).all()
+
+    def test_triplane(self):
+        self._run("TriPlaneEncoder", {"resolution": 16, "channels": 4})
+
+    def test_grid(self):
+        self._run("GridEncoder", {"resolution": 8, "channels": 4})
+
+    def test_hexplane_dynamic(self):
+        self._run("HexPlaneEncoder", {"resolution": 16, "channels": 4},
+                  n_frames=4)
+
+    def test_ngp(self):
+        self._run("NGPMLP", {"n_levels": 4, "log2_hashmap_size": 10})
+
+    def test_varhex_dynamic(self):
+        self._run("VarHexPlaneEncoder", {"noise_res": 4}, n_frames=4)

@@ -227,3 +227,16 @@ class TestTileEdgeCases:
         # generous cap: exact; tiny cap: bounded leak (saturated pixels only)
         np.testing.assert_allclose(big, want["color"], atol=5e-5, rtol=1e-3)
         assert np.abs(big - small).max() < 0.06
+
+
+class TestDepthTies:
+    def test_equal_depth_deterministic_id_order(self):
+        """Splats at identical depth blend in gaussian-id order (the CUDA
+        radix sort is stable over the id-ordered duplication)."""
+        s = make_scene(n=8, seed=31)
+        s["means3d"][:, 2] = 0.0   # all at the same view depth
+        s["means3d"][:, :2] = 0.05 * np.arange(8)[:, None] - 0.2
+        got = run_tile(s, tile_cap=64, k_chunk=32)
+        want = run_oracle(s)
+        np.testing.assert_allclose(np.asarray(got.color), want["color"],
+                                   atol=1e-5, rtol=1e-4)
