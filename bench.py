@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from splatfields_tpu.utils.system import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     from splatfields_tpu import config as cfg_lib
     from splatfields_tpu import train_lib
     from splatfields_tpu.models import splats as splats_lib

@@ -62,6 +62,8 @@ def morans_report(params, stats, deform, n_frames, fid=0.0):
 
 
 def main(argv=None):
+    from splatfields_tpu.utils.system import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     parser = cfg_lib.build_parser("SplatFields-TPU Moran analysis", sentinel=True)
     parser.add_argument("--iteration", default=-1, type=int)
     args = cfg_lib.get_combined_args(parser, argv if argv is not None
