@@ -108,7 +108,8 @@ def _chunk_alpha(attrs, px, py, t_carry_full, k: int, p: int):
     return alpha, s, t_excl
 
 
-def _fwd_kernel(tile_start_ref, counts_ref, pack_hbm, color_ref, depth_ref,
+def _fwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
+                color_ref, depth_ref,
                 tfinal_ref, chunk_vmem, sem, *, tiles_x: int, tile_size: int,
                 k: int, tile_cap: int):
     t = pl.program_id(0)
@@ -118,7 +119,9 @@ def _fwd_kernel(tile_start_ref, counts_ref, pack_hbm, color_ref, depth_ref,
     n_chunks = (count + k - 1) // k
     d_total = pack_hbm.shape[0]
 
-    px, py = _pixel_coords(t, tiles_x, tile_size, p)
+    # tile_ids maps the local grid step to a GLOBAL tile id so a sharded
+    # caller can blend a slice of the tile grid (parallel/step.py).
+    px, py = _pixel_coords(tile_ids_ref[t], tiles_x, tile_size, p)
 
     color_ref[0] = jnp.zeros((3, p), jnp.float32)
     depth_ref[0] = jnp.zeros((1, p), jnp.float32)
@@ -166,8 +169,8 @@ def _fwd_kernel(tile_start_ref, counts_ref, pack_hbm, color_ref, depth_ref,
     static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap",
                      "k_chunk", "interpret"),
 )
-def _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x, tiles_y,
-                      tile_size, tile_cap, k_chunk, interpret=False):
+def _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids, tiles_x,
+                      tiles_y, tile_size, tile_cap, k_chunk, interpret=False):
     num_tiles = counts.shape[0]
     p = tile_size * tile_size
     k = k_chunk
@@ -178,7 +181,7 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x, tiles_y,
     sorted_pack = jnp.pad(sorted_pack,
                           ((0, 0), (0, _AP - sorted_pack.shape[1])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
@@ -206,11 +209,12 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x, tiles_y,
             jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
         ),
         interpret=interpret,
-    )(tile_start[:num_tiles], counts, sorted_pack)
+    )(tile_start[:num_tiles], counts, tile_ids, sorted_pack)
     return color, depth[:, 0], tfinal[:, 0]
 
 
-def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
+def _bwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
+                g_color_ref,
                 g_depth_ref, g_tfinal_ref, tfinal_ref, color_ref,
                 depth_out_ref, grad_init_hbm,
                 grad_hbm, chunk_vmem, grad_vmem, sem_in, sem_out, *,
@@ -233,7 +237,7 @@ def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
     n_chunks = (count + k - 1) // k
     d_total = pack_hbm.shape[0]
 
-    px, py = _pixel_coords(t, tiles_x, tile_size, p)
+    px, py = _pixel_coords(tile_ids_ref[t], tiles_x, tile_size, p)
     gC = g_color_ref[0]       # [3, P]
     gD = g_depth_ref[0]       # [1, P]
     gT = g_tfinal_ref[0]      # [1, P]
@@ -326,7 +330,8 @@ def _bwd_kernel(tile_start_ref, counts_ref, pack_hbm, g_color_ref,
     static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap",
                      "k_chunk", "interpret"),
 )
-def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
+def _blend_bwd_pallas(sorted_pack, tile_start, counts, tile_ids, g_color,
+                      g_depth,
                       g_tfinal, tfinal, color, depth_out, tiles_x, tiles_y,
                       tile_size, tile_cap, k_chunk, interpret=False):
     num_tiles = counts.shape[0]
@@ -341,7 +346,7 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
     d_total = sorted_pack.shape[0]
     grad_init = jnp.zeros((d_total, _AP), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # pack (HBM)
@@ -374,10 +379,10 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d_total, _AP), jnp.float32),
-        input_output_aliases={9: 0},
+        input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_start[:num_tiles], counts, sorted_pack,
+    )(tile_start[:num_tiles], counts, tile_ids, sorted_pack,
       g_color.reshape(num_tiles, 3, p),
       g_depth.reshape(num_tiles, 1, p),
       g_tfinal.reshape(num_tiles, 1, p),
@@ -393,31 +398,50 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, g_color, g_depth,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def blend_sorted_pallas(sorted_pack, tile_start, counts, tiles_x, tiles_y,
-                        tile_size, tile_cap, k_chunk, interpret=False):
-    """[D, A] sorted pack -> (color [T,3,P], depth [T,P], final_t [T,P])."""
-    return _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x,
-                             tiles_y, tile_size, tile_cap, k_chunk,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _blend_sorted_core(sorted_pack, tile_start, counts, tile_ids, tiles_x,
+                       tiles_y, tile_size, tile_cap, k_chunk,
+                       interpret=False):
+    return _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids,
+                             tiles_x, tiles_y, tile_size, tile_cap, k_chunk,
                              interpret)
 
 
-def _fwd_rule(sorted_pack, tile_start, counts, tiles_x, tiles_y, tile_size,
-              tile_cap, k_chunk, interpret):
-    out = _blend_fwd_pallas(sorted_pack, tile_start, counts, tiles_x,
-                            tiles_y, tile_size, tile_cap, k_chunk, interpret)
-    return out, (sorted_pack, tile_start, counts, out[2], out[0], out[1])
+def _fwd_rule(sorted_pack, tile_start, counts, tile_ids, tiles_x, tiles_y,
+              tile_size, tile_cap, k_chunk, interpret):
+    out = _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids,
+                            tiles_x, tiles_y, tile_size, tile_cap, k_chunk,
+                            interpret)
+    return out, (sorted_pack, tile_start, counts, tile_ids, out[2], out[0],
+                 out[1])
 
 
 def _bwd_rule(tiles_x, tiles_y, tile_size, tile_cap, k_chunk, interpret,
               res, g):
-    sorted_pack, tile_start, counts, tfinal, color, depth_out = res
+    sorted_pack, tile_start, counts, tile_ids, tfinal, color, depth_out = res
     g_color, g_depth, g_tfinal = g
     grads = _blend_bwd_pallas(
-        sorted_pack, tile_start, counts, g_color, g_depth, g_tfinal,
-        tfinal, color, depth_out, tiles_x, tiles_y, tile_size, tile_cap,
-        k_chunk, interpret)
-    return grads, None, None
+        sorted_pack, tile_start, counts, tile_ids, g_color, g_depth,
+        g_tfinal, tfinal, color, depth_out, tiles_x, tiles_y, tile_size,
+        tile_cap, k_chunk, interpret)
+    return grads, None, None, None
 
 
-blend_sorted_pallas.defvjp(_fwd_rule, _bwd_rule)
+_blend_sorted_core.defvjp(_fwd_rule, _bwd_rule)
+
+
+def blend_sorted_pallas(sorted_pack, tile_start, counts, tiles_x, tiles_y,
+                        tile_size, tile_cap, k_chunk, interpret=False,
+                        tile_ids=None):
+    """[D, A] sorted pack -> (color [T,3,P], depth [T,P], final_t [T,P]).
+
+    ``tile_ids`` (optional, [T] int32) maps each grid step to a GLOBAL tile
+    id; pass it when blending a slice of the tile grid (sharded step) so
+    pixel coordinates come from the global grid position. Defaults to the
+    identity (full-grid blend).
+    """
+    if tile_ids is None:
+        tile_ids = jnp.arange(counts.shape[0], dtype=jnp.int32)
+    return _blend_sorted_core(sorted_pack, tile_start, counts, tile_ids,
+                              tiles_x, tiles_y, tile_size, tile_cap, k_chunk,
+                              interpret)
