@@ -272,7 +272,12 @@ def densify_and_prune(
       2 children sampled from N(0, scale) rotated into world, scale /= 1.6;
       parent removed
     - prune: opacity < min_opacity, or (if max_screen_size > 0)
-      max_radii2d > max_screen_size or scale > 0.1 * extent
+      scale > 0.1 * extent. NOTE the reference's ``max_radii2D >
+      max_screen_size`` test is a no-op: ``densification_postfix`` (run by
+      clone AND split, :352-354) zeroes max_radii2D for every point before
+      ``densify_and_prune`` reads it (:421), so the screen-size prune never
+      fires there — we reproduce the EFFECTIVE behavior and do not test
+      max_radii2d. ``max_screen_size`` still gates the world-size prune.
     - all stats reset to zero afterwards (densification_postfix)
     """
     cap = params.capacity
@@ -290,8 +295,7 @@ def densify_and_prune(
 
     prune = (opacity < min_opacity)
     if max_screen_size:
-        prune = prune | (stats.max_radii2d > max_screen_size) | (
-            max_scale > 0.1 * extent)
+        prune = prune | (max_scale > 0.1 * extent)
     prune = prune & valid
 
     # children inherit the prune test (post-split opacity/scale prune);

@@ -155,14 +155,29 @@ def compute_losses(render_outs, batch, attrs, opt, valid):
                 return 1.0 - jnp.clip(
                     jnp.sum(per * nb_valid) / jnp.maximum(jnp.sum(nb_valid), 1.0),
                     0.0, 1.0)
+
+            # The reference's color Moran term runs over the flattened
+            # ``gaussian_features`` [N, K*3] (``train.py:208``). In static /
+            # warm-up mode that's the SH coefficient matrix; in field mode
+            # with an rgb head the reference dict holds ``gaussian_rgb``
+            # instead and the upstream access would KeyError — we use the
+            # predicted rgb as the feature vector there (documented
+            # deviation; no released config hits the upstream crash).
+            feat_vec = None
+            if "shs" in attrs:
+                feat_vec = attrs["shs"].reshape(attrs["shs"].shape[0], -1)
+            elif "rgb" in attrs:
+                feat_vec = attrs["rgb"]
             if opt.lambda_corr > 0.0:
                 lc = (moran(attrs["scales"]) + moran(attrs["rotations"])
                       + moran(attrs["opacity"][:, None]))
-                if "rgb" in attrs:
-                    lc = lc + moran(attrs["rgb"])
+                if feat_vec is not None:
+                    lc = lc + moran(feat_vec)
                 loss = loss + opt.lambda_corr * lc
-            if opt.lambda_corr_color > 0.0 and "rgb" in attrs:
-                loss = loss + opt.lambda_corr * moran(attrs["rgb"])
+            if opt.lambda_corr_color > 0.0 and feat_vec is not None:
+                # reference quirk preserved: weighted by lambda_corr, not
+                # lambda_corr_color (``train.py:215``)
+                loss = loss + opt.lambda_corr * moran(feat_vec)
         if opt.lambda_depth > 0.0:
             gt_depth = batch["depth"][v]
             dmask = (gt_depth > 0).astype(jnp.float32)
