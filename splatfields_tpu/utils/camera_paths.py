@@ -1,9 +1,17 @@
 """Camera path generation for visualization renders (host NumPy + SciPy).
 
-Parity targets:
-- ``utils/camera_utils_multinerf.py``: B-spline interpolated paths between
-  keyframe poses (:20-66), PCA pose normalization (:78-112).
-- ``utils/pose_utils.py``: spherical orbit poses and the wander path.
+Capability targets (APIs only — the implementations here are original):
+- smooth interpolated fly-through between keyframe poses (the reference
+  exposes this via ``utils/camera_utils_multinerf.py:20-66``; we build it
+  from a chord-length-parameterized smoothing spline on camera centers plus
+  piecewise quaternion slerp on orientations, instead of the multinerf
+  pos/lookat/up control-point B-spline),
+- PCA recentering of a pose set (``camera_utils_multinerf.py:78-112``
+  capability; implemented via SVD of the centered camera-center matrix),
+- spherical orbit poses (``utils/pose_utils.py`` capability).
+
+All functions take/return OpenCV-style camera-to-world matrices ``[3, 4]``
+(+x right, +y down, +z forward) unless noted.
 """
 from __future__ import annotations
 
@@ -11,94 +19,192 @@ import numpy as np
 import scipy.interpolate
 
 
-def viewmatrix(lookdir, up, position):
-    def normalize(x):
-        return x / np.linalg.norm(x)
-    vec2 = normalize(lookdir)
-    vec0 = normalize(np.cross(up, vec2))
-    vec1 = normalize(np.cross(vec2, vec0))
-    return np.stack([vec0, vec1, vec2, position], axis=1)
+# ---------------------------------------------------------------------------
+# rotation <-> quaternion helpers
+# ---------------------------------------------------------------------------
 
+def _rotmat_to_quat(m: np.ndarray) -> np.ndarray:
+    """[3, 3] rotation -> unit quaternion (w, x, y, z), Shepperd's method."""
+    t = np.trace(m)
+    if t > 0:
+        r = np.sqrt(1.0 + t)
+        w = 0.5 * r
+        x = (m[2, 1] - m[1, 2]) / (2 * r)
+        y = (m[0, 2] - m[2, 0]) / (2 * r)
+        z = (m[1, 0] - m[0, 1]) / (2 * r)
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        r = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k])
+        q = np.empty(4)
+        q[1 + i] = 0.5 * r
+        q[0] = (m[k, j] - m[j, k]) / (2 * r)
+        q[1 + j] = (m[j, i] + m[i, j]) / (2 * r)
+        q[1 + k] = (m[k, i] + m[i, k]) / (2 * r)
+        w, x, y, z = q
+    q = np.array([w, x, y, z])
+    return q / np.linalg.norm(q)
+
+
+def _quat_to_rotmat(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _slerp(q0: np.ndarray, q1: np.ndarray, u: float) -> np.ndarray:
+    """Spherical linear interpolation between unit quaternions."""
+    dot = float(np.dot(q0, q1))
+    if dot < 0.0:  # shortest arc
+        q1, dot = -q1, -dot
+    if dot > 0.9995:  # nearly parallel: nlerp
+        q = (1 - u) * q0 + u * q1
+        return q / np.linalg.norm(q)
+    theta = np.arccos(np.clip(dot, -1.0, 1.0))
+    s = np.sin(theta)
+    return (np.sin((1 - u) * theta) * q0 + np.sin(u * theta) * q1) / s
+
+
+# ---------------------------------------------------------------------------
+# interpolated fly-through
+# ---------------------------------------------------------------------------
 
 def generate_interpolated_path(poses, n_interp, spline_degree=5,
                                smoothness=0.03, rot_weight=0.1):
-    """Smooth B-spline between [n, 3, 4] keyframe c2w poses."""
-    def poses_to_points(poses, dist):
-        pos = poses[:, :3, -1]
-        lookat = poses[:, :3, -1] - dist * poses[:, :3, 2]
-        up = poses[:, :3, -1] + dist * poses[:, :3, 1]
-        return np.stack([pos, lookat, up], 1)
+    """Smooth path through ``[n, 3, 4]`` keyframe c2w poses.
 
-    def points_to_poses(points):
-        return np.array([viewmatrix(p - l, u - p, p) for p, l, u in points])
+    Returns ``[n_interp * (n - 1), 3, 4]`` poses sampled uniformly in the
+    chord-length parameter (endpoint excluded, like the reference path).
 
-    def interp(points, n, k, s):
-        sh = points.shape
-        pts = np.reshape(points, (sh[0], -1))
-        k = min(k, sh[0] - 1)
-        tck, _ = scipy.interpolate.splprep(pts.T, k=k, s=s)
-        u = np.linspace(0, 1, n, endpoint=False)
-        new_points = np.array(scipy.interpolate.splev(u, tck))
-        return np.reshape(new_points.T, (n, sh[1], sh[2]))
+    Method (original, not the multinerf control-point spline):
+    - camera centers follow a smoothing spline of degree
+      ``min(spline_degree, n-1)`` with smoothing factor ``smoothness``,
+      parameterized by normalized cumulative chord length (so unevenly
+      spaced keyframes don't warp the speed);
+    - orientations follow piecewise slerp between consecutive keyframe
+      quaternions, evaluated in the same parameter.
 
-    points = poses_to_points(poses, dist=rot_weight)
-    new_points = interp(points, n_interp * (points.shape[0] - 1),
-                        k=spline_degree, s=smoothness)
-    return points_to_poses(new_points)
+    ``rot_weight`` is accepted for signature compatibility; orientation
+    smoothing here is handled by slerp rather than by offsetting lookat/up
+    control points, so it has no effect.
+    """
+    del rot_weight
+    poses = np.asarray(poses, np.float64)
+    n = poses.shape[0]
+    if n < 2:
+        raise ValueError("need at least 2 keyframe poses")
+    centers = poses[:, :3, 3]
+    quats = [_rotmat_to_quat(p[:3, :3]) for p in poses]
+    # keep quaternion signs hemisphere-continuous for clean slerp segments
+    for i in range(1, n):
+        if np.dot(quats[i - 1], quats[i]) < 0:
+            quats[i] = -quats[i]
+
+    # chord-length parameter of the keyframes, normalized to [0, 1]
+    seg = np.linalg.norm(np.diff(centers, axis=0), axis=1)
+    knots = np.concatenate([[0.0], np.cumsum(seg)])
+    if knots[-1] <= 0:  # all keyframes coincide
+        knots = np.linspace(0.0, 1.0, n)
+    else:
+        knots = knots / knots[-1]
+    # strictly increasing for the spline: nudge duplicates
+    for i in range(1, n):
+        if knots[i] <= knots[i - 1]:
+            knots[i] = knots[i - 1] + 1e-8
+
+    m = n_interp * (n - 1)
+    u = np.linspace(0.0, 1.0, m, endpoint=False)
+
+    k = min(spline_degree, n - 1)
+    if k >= 2:
+        tck, _ = scipy.interpolate.splprep(
+            centers.T, u=knots, k=k, s=smoothness)
+        pos = np.stack(scipy.interpolate.splev(u, tck), axis=1)
+    else:  # two keyframes: straight line
+        pos = (1 - u)[:, None] * centers[0] + u[:, None] * centers[1]
+
+    out = np.empty((m, 3, 4))
+    for a, (ui, p) in enumerate(zip(u, pos)):
+        j = min(int(np.searchsorted(knots, ui, side="right")) - 1, n - 2)
+        j = max(j, 0)
+        t_loc = (ui - knots[j]) / (knots[j + 1] - knots[j])
+        q = _slerp(quats[j], quats[j + 1], float(np.clip(t_loc, 0.0, 1.0)))
+        out[a, :3, :3] = _quat_to_rotmat(q)
+        out[a, :3, 3] = p
+    return out
 
 
-def pad_poses(p):
-    bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
-    return np.concatenate([p[..., :3, :4], bottom], axis=-2)
-
-
-def unpad_poses(p):
-    return p[..., :3, :4]
-
+# ---------------------------------------------------------------------------
+# PCA pose normalization
+# ---------------------------------------------------------------------------
 
 def transform_poses_pca(poses):
-    """Recenter/realign poses by PCA of camera centers; scale into the
-    [-1,1]^3 cube. Returns (poses, transform)."""
-    t = poses[:, :3, 3]
-    t_mean = t.mean(axis=0)
-    t = t - t_mean
-    eigval, eigvec = np.linalg.eig(t.T @ t)
-    inds = np.argsort(eigval)[::-1]
-    eigvec = eigvec[:, inds]
-    rot = eigvec.T
-    if np.linalg.det(rot) < 0:
-        rot = np.diag(np.array([1, 1, -1])) @ rot
-    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
-    poses_recentered = unpad_poses(transform @ pad_poses(poses))
-    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
-    if poses_recentered.mean(axis=0)[2, 1] < 0:
-        poses_recentered = np.diag(np.array([1, -1, -1])) @ poses_recentered
-        transform = np.diag(np.array([1, -1, -1, 1])) @ transform
-    scale = 1.0 / np.max(np.abs(poses_recentered[:, :3, 3]))
-    poses_recentered[:, :3, 3] *= scale
-    transform = np.diag(np.array([scale] * 3 + [1])) @ transform
-    return poses_recentered, transform
+    """Recenter/realign ``[n, 3, 4]`` poses onto the principal axes of the
+    camera centers and scale into the unit cube.
 
+    Returns ``(poses_recentered [n, 3, 4], transform [4, 4])`` with
+    ``poses_recentered = (transform @ [poses; 0 0 0 1])[:, :3]``.
+    """
+    poses = np.asarray(poses, np.float64)
+    centers = poses[:, :3, 3]
+    mean = centers.mean(axis=0)
+    # principal axes by SVD of the centered center matrix (rows = cameras)
+    _, _, vt = np.linalg.svd(centers - mean, full_matrices=False)
+    rot = vt  # rows: descending-variance directions
+    if np.linalg.det(rot) < 0:
+        rot = np.diag([1.0, 1.0, -1.0]) @ rot
+
+    transform = np.eye(4)
+    transform[:3, :3] = rot
+    transform[:3, 3] = rot @ -mean
+
+    hom = np.concatenate(
+        [poses, np.broadcast_to(np.array([0, 0, 0, 1.0]),
+                                poses[:, :1, :].shape)], axis=1)
+    recentered = (transform @ hom)[:, :3, :]
+
+    # make the average camera-up point along +y (flip y/z if not)
+    if recentered[:, 2, 1].mean() < 0:
+        flip = np.diag([1.0, -1.0, -1.0])
+        recentered = flip @ recentered
+        transform = np.diag([1.0, -1.0, -1.0, 1.0]) @ transform
+
+    scale = 1.0 / max(np.abs(recentered[:, :3, 3]).max(), 1e-12)
+    recentered[:, :3, 3] *= scale
+    transform = np.diag([scale, scale, scale, 1.0]) @ transform
+    return recentered, transform
+
+
+# ---------------------------------------------------------------------------
+# spherical orbits
+# ---------------------------------------------------------------------------
 
 def pose_spherical(theta, phi, radius):
-    """Spherical orbit c2w (reference ``utils/pose_utils.py``)."""
-    def trans_t(t):
-        return np.array([[1, 0, 0, 0], [0, 1, 0, 0],
-                         [0, 0, 1, t], [0, 0, 0, 1]], np.float32)
-
-    def rot_phi(phi):
-        c, s = np.cos(phi), np.sin(phi)
-        return np.array([[1, 0, 0, 0], [0, c, -s, 0],
-                         [0, s, c, 0], [0, 0, 0, 1]], np.float32)
-
-    def rot_theta(th):
-        c, s = np.cos(th), np.sin(th)
-        return np.array([[c, 0, -s, 0], [0, 1, 0, 0],
-                         [s, 0, c, 0], [0, 0, 0, 1]], np.float32)
-
-    c2w = trans_t(radius)
-    c2w = rot_phi(phi / 180.0 * np.pi) @ c2w
-    c2w = rot_theta(theta / 180.0 * np.pi) @ c2w
-    c2w = np.array([[-1, 0, 0, 0], [0, 0, 1, 0],
-                    [0, 1, 0, 0], [0, 0, 0, 1]], np.float32) @ c2w
-    return c2w
+    """Orbit c2w [4, 4] looking at the origin (OpenGL convention: -z
+    forward, +y up), with the D-NeRF-style world axis order (y up swapped
+    to z up). theta/phi in degrees."""
+    th = np.deg2rad(theta)
+    ph = np.deg2rad(phi)
+    # camera center on the sphere (before the world axis swap)
+    pos = np.array([
+        -radius * np.cos(ph) * np.sin(th),
+        -radius * np.sin(ph),
+        radius * np.cos(ph) * np.cos(th),
+    ])
+    # look-at basis: backward = away from origin, up = +y
+    backward = pos / np.linalg.norm(pos)
+    right = np.cross(np.array([0.0, 1.0, 0.0]), backward)
+    nr = np.linalg.norm(right)
+    right = (right / nr) if nr > 1e-9 else np.array([1.0, 0.0, 0.0])
+    up = np.cross(backward, right)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = up
+    c2w[:3, 2] = backward
+    c2w[:3, 3] = pos
+    swap = np.array([[-1, 0, 0, 0], [0, 0, 1, 0],
+                     [0, 1, 0, 0], [0, 0, 0, 1]], np.float32)
+    return (swap @ c2w).astype(np.float32)
