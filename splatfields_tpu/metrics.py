@@ -74,13 +74,26 @@ def compute_ssim(img0: np.ndarray, img1: np.ndarray,
     return float(np.mean(numer / denom))
 
 
-_LPIPS_NOTE = ("lpips unavailable: requires the lpips package with "
-               "pretrained VGG weights (no network egress in this "
-               "environment)")
+_LPIPS_NOTE = ("lpips unavailable: no local VGG-LPIPS weight file found "
+               "(set $SPLATFIELDS_LPIPS or place weights/lpips_vgg.npz — "
+               "see ops/lpips.py for the format) and the lpips package "
+               "is not installed (no network egress in this environment)")
 
 
-def try_lpips():
-    """Return an LPIPS callable or None (gated dependency)."""
+def try_lpips(weights_path: str | None = None):
+    """Return an LPIPS callable or None (gated dependency).
+
+    Preferred path: the pure-JAX VGG16 LPIPS (``ops/lpips.py``) fed from a
+    local weight file. Falls back to the torch ``lpips`` package if that is
+    importable (it is not in this image), else None -> ``lpips: null``.
+    """
+    try:
+        from splatfields_tpu.ops.lpips import load_lpips
+        fn = load_lpips(weights_path)
+        if fn is not None:
+            return fn
+    except Exception:
+        pass
     try:
         import lpips as lpips_pkg
         import torch
@@ -112,7 +125,8 @@ def eval_imgs(pred: np.ndarray, gt: np.ndarray, lpips_fn=None,
 
 
 def eval_all(src_dir: str, scale_ssim: float = 100.0,
-             scale_lpips: float = 100.0) -> dict:
+             scale_lpips: float = 100.0,
+             lpips_weights_path: str | None = None) -> dict:
     """Aggregate metrics over gt/ vs renders/ into results.yaml."""
     import cv2
 
@@ -125,7 +139,7 @@ def eval_all(src_dir: str, scale_ssim: float = 100.0,
     assert len(gt_paths) == len(pred_paths), (
         f"gt/pred count mismatch: {len(gt_paths)} vs {len(pred_paths)}")
 
-    lpips_fn = try_lpips()
+    lpips_fn = try_lpips(lpips_weights_path)
     results = collections.defaultdict(list)
     for gp, pp in zip(gt_paths, pred_paths):
         assert os.path.basename(gp) == os.path.basename(pp)

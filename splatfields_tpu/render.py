@@ -29,7 +29,7 @@ def _to_png(img_chw: np.ndarray) -> np.ndarray:
 
 def render_set(model_path, name, iteration, views, params, stats, deform,
                pipe_cfg, bg, field_mode, n_frames, sh_degree,
-               render_depth=False, save_video=True):
+               render_depth=False, save_video=True, lpips_weights=None):
     base = os.path.join(model_path, name, f"ours_{iteration}")
     render_path = os.path.join(base, "renders")
     gts_path = os.path.join(base, "gt")
@@ -69,13 +69,13 @@ def render_set(model_path, name, iteration, views, params, stats, deform,
             print(f"video export skipped: {e}")
 
     if any(v.image is not None for v in views):
-        return metrics.eval_all(base)
+        return metrics.eval_all(base, lpips_weights_path=lpips_weights)
     return {}
 
 
 def render_sets(model_cfg, hidden_cfg, pipe_cfg, iteration,
                 skip_train=False, skip_test=False, skip_pred=True,
-                render_depth=False):
+                render_depth=False, lpips_weights=None):
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     scene = Scene(model_cfg, load_iteration=iteration, shuffle=False)
@@ -96,27 +96,33 @@ def render_sets(model_cfg, hidden_cfg, pipe_cfg, iteration,
         results["train"] = render_set(
             model_cfg.model_path, "train", it, scene.get_train_cameras(),
             params, stats, deform, pipe_cfg, bg, not is_static, n_frames,
-            sh_degree, render_depth)
+            sh_degree, render_depth, lpips_weights=lpips_weights)
     if not skip_test:
         results["test"] = render_set(
             model_cfg.model_path, "test", it, scene.get_test_cameras(),
             params, stats, deform, pipe_cfg, bg, not is_static, n_frames,
-            sh_degree, render_depth)
+            sh_degree, render_depth, lpips_weights=lpips_weights)
     if not skip_pred:
         results["pred"] = render_set(
             model_cfg.model_path, "pred", it, scene.get_pred_cameras(),
             params, stats, deform, pipe_cfg, bg, not is_static, n_frames,
-            sh_degree, render_depth)
+            sh_degree, render_depth, lpips_weights=lpips_weights)
     return results
 
 
 def main(argv=None):
+    from splatfields_tpu.utils.system import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     parser = cfg_lib.build_parser("SplatFields-TPU rendering", sentinel=True)
     parser.add_argument("--iteration", default=-1, type=int)
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--render_pred", action="store_true")
     parser.add_argument("--render_depth", action="store_true")
+    parser.add_argument("--lpips_weights", default=None, type=str,
+                        help="local VGG-LPIPS .npz (see ops/lpips.py); "
+                             "defaults to $SPLATFIELDS_LPIPS or "
+                             "weights/lpips_vgg.npz")
     args = cfg_lib.get_combined_args(parser, argv if argv is not None
                                      else sys.argv[1:])
     model_cfg, pipe_cfg, hidden_cfg, _ = cfg_lib.extract_configs(args)
@@ -124,7 +130,8 @@ def main(argv=None):
     render_sets(model_cfg, hidden_cfg, pipe_cfg, args.iteration,
                 skip_train=args.skip_train, skip_test=args.skip_test,
                 skip_pred=not args.render_pred,
-                render_depth=args.render_depth)
+                render_depth=args.render_depth,
+                lpips_weights=getattr(args, "lpips_weights", None))
 
 
 if __name__ == "__main__":
