@@ -169,10 +169,17 @@ class ResFieldLinear(nn.Module):
                               base_flat[None]).reshape(
                 -1, self.in_features, self.out_features)
         if self.compression == "vm_noweight":
-            delta = jnp.sum(self.matrix_t, axis=0)  # summed over rank rows
-            delta = delta.reshape(self.out_features, self.in_features).T
-            return self._fuse(delta.reshape(-1), base_flat).reshape(
-                self.in_features, self.out_features)
+            # reference quirk (resfields.py:272-274): the base weight is
+            # fused into EVERY rank column before the sum over rank, so the
+            # effective weight is sum_r fuse(matrix_t[r], W) — for 'add'
+            # that is rank*W + sum(matrix_t), not W + sum(matrix_t).
+            # Verified by tests/test_reference_parity.py transplant.
+            fused = self._fuse(
+                jnp.swapaxes(self.matrix_t, 0, 1),  # [numel, R]
+                base.T.reshape(-1, 1))  # torch (out,in) flatten
+            delta_oi = jnp.sum(fused, axis=1)
+            return delta_oi.reshape(
+                self.out_features, self.in_features).T
         if self.compression == "none":
             delta = self.matrix_t[frame_id].reshape(
                 self.out_features, self.in_features).T
@@ -181,7 +188,7 @@ class ResFieldLinear(nn.Module):
         if self.compression == "none_cum":
             # cumulative deltas scaled by 1/250 with the base as frame 0
             # (reference :276-279)
-            mat = self.matrix_t / 250.0  # [C, out*in]
+            mat = jnp.asarray(self.matrix_t) / 250.0  # [C, out*in]
             mat = mat.at[0].set(0.0)
             cum = jnp.cumsum(mat, axis=0)[frame_id]
             delta = cum.reshape(self.out_features, self.in_features).T
