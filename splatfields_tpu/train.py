@@ -258,7 +258,7 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
         if iteration in test_iterations:
             cur = evaluate(scene, params, stats, deform, model_cfg,
                            pipe_cfg, opt_cfg, bg, active_sh, field_mode,
-                           n_frames, iteration, quiet=quiet)
+                           n_frames, iteration, quiet=quiet, writer=writer)
             if cur > best_psnr:
                 best_psnr, best_iter = cur, iteration
         if iteration in save_iterations:
@@ -309,8 +309,10 @@ def _grow_capacity(params, stats, opt, new_cap):
 
 def evaluate(scene, params, stats, deform, model_cfg, pipe_cfg, opt_cfg,
              bg, active_sh, field_mode, n_frames, iteration, quiet=False,
-             max_views=25):
-    """In-training eval (reference ``training_report``, train.py:350-443)."""
+             max_views=25, writer=None):
+    """In-training eval (reference ``training_report``, train.py:350-443):
+    L1/PSNR per camera set, render/gt/mask/depth panels for the first 5
+    views of each set, opacity histogram + total_points."""
     from splatfields_tpu.render_lib import render_camera
 
     results = {}
@@ -319,23 +321,41 @@ def evaluate(scene, params, stats, deform, model_cfg, pipe_cfg, opt_cfg,
         if not cams:
             continue
         psnrs, l1s = [], []
-        for cam in cams[:max_views]:
-            img = render_camera(
+        for idx, cam in enumerate(cams[:max_views]):
+            out = render_camera(
                 cam, params, stats, deform, pipe_cfg, bg,
                 field_mode=field_mode, n_frames=n_frames,
-                sh_degree=active_sh)["render"]
+                sh_degree=active_sh)
+            img = out["render"]
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
             img = jnp.clip(img, 0, 1)
             psnrs.append(float(psnr_fn(img, gt)))
             l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+            if writer is not None and idx < 5:
+                panels = {"render": np.asarray(img), "gt": np.asarray(gt)}
+                if cam.mask is not None:
+                    gt_mask = np.asarray(cam.mask).reshape(
+                        1, *np.asarray(gt).shape[-2:])
+                    panels["render_mask"] = np.asarray(img) * gt_mask
+                depth = np.asarray(out["depth"])[0]
+                dmax = max(float(depth.max()), 9.0 + 1e-3)
+                panels["depth"] = np.clip((depth - 9.0) / (dmax - 9.0), 0, 1)
+                writer.images(iteration, f"{name}_view_{idx}", panels)
         results[name] = (np.mean(l1s), np.mean(psnrs))
         if not quiet:
             print(f"\n[ITER {iteration}] Evaluating {name}: "
                   f"L1 {results[name][0]:.5f} PSNR {results[name][1]:.3f}")
+    if writer is not None:
+        valid = np.asarray(stats.valid)
+        opac = np.asarray(splats_lib.get_opacity(params))[valid > 0]
+        writer.histogram(iteration, "scene/opacity_histogram", opac)
+        writer.scalars(iteration, {"total_points": float(valid.sum())})
     return results.get("test", results.get("train", (0, 0)))[1]
 
 
 def main(argv=None):
+    from splatfields_tpu.utils.system import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     parser = cfg_lib.build_parser("SplatFields-TPU training")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
