@@ -1,0 +1,150 @@
+"""On-TPU Pallas-vs-XLA blend numerics regression (one TPU job).
+
+Compares the Pallas blend kernel against the XLA ``blend_tiles``
+formulation ON HARDWARE — forward color/depth/final_t AND input gradients
+— at bench scale (100k splats, 800x800), then writes a JSON artifact
+(``kernel_numerics.json``) with max-abs gaps and PASS/FAIL against
+thresholds derived from the documented platform-float analysis
+(blend_pallas.py module docstring: TPU color gap 1.9e-3 vs the XLA blend,
+which itself differs 3.7e-3 from its own CPU execution; interpret-mode
+parity is 1e-5, so anything << 1e-2 is platform float behavior, not kernel
+math). Run: ``python scripts/check_kernel_numerics.py`` (TPU, single
+process). CPU fallback runs the kernel in interpret mode with tight
+thresholds.
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import math
+import time
+
+import numpy as np
+
+from splatfields_tpu.utils.system import enable_persistent_compile_cache
+enable_persistent_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from splatfields_tpu.ops.raster.preprocess import preprocess
+from splatfields_tpu.ops.raster.binning import bin_gaussians
+from splatfields_tpu.ops.raster.blend_jax import (
+    blend_tiles, pack_attributes)
+from splatfields_tpu.ops.raster.blend_pallas import blend_sorted_pallas
+from splatfields_tpu.utils import camera_math as cm
+
+# thresholds: ~5x the measured platform-float gaps, far below any real
+# kernel-math regression (which shows up at 1e-1+)
+ON_TPU_THRESHOLDS = {"color": 1e-2, "depth": 5e-2, "final_t": 1e-2,
+                     "grad_rel": 5e-2}
+INTERP_THRESHOLDS = {"color": 1e-4, "depth": 1e-3, "final_t": 1e-4,
+                     "grad_rel": 1e-3}
+
+
+def main():
+    on_tpu = jax.default_backend() != "cpu"
+    interpret = not on_tpu
+    thresholds = ON_TPU_THRESHOLDS if on_tpu else INTERP_THRESHOLDS
+    if on_tpu:
+        width = height = 800
+        n = 100_000
+        tile_size, tile_cap, k_chunk = 16, 1024, 128
+    else:  # interpret mode is ~1000x slower; shrink the scene
+        width = height = 128
+        n = 4_000
+        tile_size, tile_cap, k_chunk = 16, 256, 64
+    tiles_x = tiles_y = width // tile_size
+    rng = np.random.RandomState(0)
+
+    R = np.eye(3, dtype=np.float32)
+    t = np.array([0, 0, 4.0], np.float32)
+    w2v = jnp.asarray(cm.get_world2view(R, t).T)
+    fov = 0.8
+    proj = cm.get_projection_matrix(0.01, 100.0, fov, fov).T
+    full = jnp.asarray((np.asarray(w2v) @ proj).astype(np.float32))
+    tanfov = math.tan(fov / 2)
+
+    means = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+    scales = jnp.asarray((0.005 + 0.01 * rng.rand(n, 3)).astype(np.float32))
+    rots = jnp.asarray(rng.randn(n, 4).astype(np.float32))
+    ops = jnp.asarray(rng.uniform(0.3, 0.9, n).astype(np.float32))
+    cols = jnp.asarray(rng.rand(n, 3).astype(np.float32))
+
+    pre = preprocess(means, scales, rots, ops, w2v, full, width, height,
+                     tanfov, tanfov, colors_precomp=cols)
+    binning = bin_gaussians(pre.means2d, pre.depths, pre.radii,
+                            tiles_x, tiles_y, tile_size, tile_cap=tile_cap)
+    counts = binning.counts
+    tile_start = binning.tile_start
+    attrs = (pre.means2d, pre.conics, pre.rgb, pre.opacity, pre.depths)
+
+    # random cotangents for a scalar objective shared by both impls
+    g_seed = jnp.asarray(rng.rand(tiles_x * tiles_y, 3,
+                                  tile_size * tile_size).astype(np.float32))
+
+    def run_pallas(m2d, con, rgb_, op_, dep):
+        pack = pack_attributes(m2d, con, rgb_, op_, dep)
+        sp = pack[jnp.maximum(binning.sorted_id, 0)]
+        return blend_sorted_pallas(sp, tile_start, counts, tiles_x,
+                                   tiles_y, tile_size, tile_cap,
+                                   k_chunk, interpret)
+
+    def run_xla(m2d, con, rgb_, op_, dep):
+        out = blend_tiles(binning.sorted_id, tile_start, counts,
+                          m2d, con, rgb_, op_, dep, tiles_x, tiles_y,
+                          tile_size, tile_cap=tile_cap, k_chunk=k_chunk)
+        # XLA color layout is [T, P, 3]; pallas is [T, 3, P]
+        return (jnp.transpose(out.color, (0, 2, 1)), out.depth,
+                out.final_t)
+
+    t0 = time.time()
+    cp, dp, tp_ = jax.jit(run_pallas)(*attrs)
+    cx, dx_, tx_ = jax.jit(run_xla)(*attrs)
+    jax.block_until_ready((cp, cx))
+
+    def obj(runner):
+        def f(*a):
+            c, d, tf = runner(*a)
+            return (jnp.sum(c * g_seed) + 0.3 * jnp.sum(d * d)
+                    + 0.7 * jnp.sum(tf))
+        return f
+
+    argnums = tuple(range(5))
+    gp = jax.jit(jax.grad(obj(run_pallas), argnums=argnums))(*attrs)
+    gx = jax.jit(jax.grad(obj(run_xla), argnums=argnums))(*attrs)
+    jax.block_until_ready((gp, gx))
+
+    def gap(a, b):
+        return max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b)) \
+            if isinstance(a, tuple) else float(jnp.max(jnp.abs(a - b)))
+
+    g_scale = max(float(jnp.max(jnp.abs(g))) for g in gx) + 1e-12
+    report = {
+        "backend": jax.default_backend(),
+        "interpret": interpret,
+        "n_splats": n,
+        "resolution": f"{width}x{height}",
+        "color_max_abs": gap(cp, cx),
+        "depth_max_abs": gap(dp, dx_),
+        "final_t_max_abs": gap(tp_, tx_),
+        "grad_max_abs": gap(gp, gx),
+        "grad_rel": gap(gp, gx) / g_scale,
+        "thresholds": thresholds,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    report["pass"] = bool(
+        report["color_max_abs"] < thresholds["color"]
+        and report["depth_max_abs"] < thresholds["depth"]
+        and report["final_t_max_abs"] < thresholds["final_t"]
+        and report["grad_rel"] < thresholds["grad_rel"])
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "kernel_numerics.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    sys.exit(0 if report["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()

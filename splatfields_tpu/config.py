@@ -99,6 +99,11 @@ class PipelineConfig:
     tile_size: int = 16
     tile_cap: int = 1024
     k_chunk: int = 128
+    # static duplicated-instance budget = dup_factor * N. Binning sort and
+    # the sorted-pack gather cost scale linearly with it (measured: the
+    # default 8N spent ~45% of ~15 ms on padding at 100k splats); the train
+    # loop grows it 1.5x and re-jits whenever instances are dropped.
+    dup_factor: int = 5
 
 
 @dataclasses.dataclass

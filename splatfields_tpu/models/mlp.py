@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,66 @@ def positional_embed(x: jnp.ndarray, multires: int) -> jnp.ndarray:
         outs.append(jnp.sin(x * f))
         outs.append(jnp.cos(x * f))
     return jnp.concatenate(outs, axis=-1)
+
+
+def fused_mlp_heads(params_list, skips_list, h_in_list,
+                    act=lambda x: jax.nn.leaky_relu(x, 0.01)):
+    """Run several rank-0 GeneralMLP heads as ONE batched einsum per depth
+    level instead of one small matmul per (head, layer).
+
+    Why: the SplatFields geo heads are three 64-wide MLPs over the same
+    N=1e5 input — 17 separate [N,64]x[64,64] matmuls whose per-kernel
+    dispatch dominates on TPU. Batching the heads at each depth level into
+    a single [A,N,W]x[A,W,W] dot_general keeps the math BIT-IDENTICAL
+    (weights are only stacked, never mixed; padding columns multiply zero
+    weights) while cutting the kernel count to one per level
+    (tests/test_mlp.py asserts equality vs the sequential GeneralMLP).
+
+    Args:
+        params_list: per-head param dicts ``{"net_0": {"weight","bias"},…}``
+            (the ResFieldLinear rank-0 layout). Heads may have different
+            depths and input widths, but equal hidden width.
+        skips_list: per-head GeneralMLP ``skips`` (dims_in indices after
+            which ``[h_in, h]`` is concatenated).
+        h_in_list: per-head embedded inputs [N, emb_in_j].
+        act: the per-layer activation (leaky_relu for every SplatFields
+            head, applied to EVERY layer including the last — reference
+            ``utils/time_utils.py:184-190``).
+
+    Returns: per-head outputs BEFORE the head's out_activation.
+    """
+    n = len(params_list)
+    n_layers = [len(p) for p in params_list]
+    hs = list(h_in_list)
+    outs = [None] * n
+    for lvl in range(max(n_layers)):
+        active = [j for j in range(n) if lvl < n_layers[j]]
+        Ws = [params_list[j][f"net_{lvl}"]["weight"] for j in active]
+        bs = [params_list[j][f"net_{lvl}"]["bias"] for j in active]
+        if len(active) == 1:
+            new = {active[0]: act(hs[active[0]] @ Ws[0] + bs[0])}
+        else:
+            wi = max(w.shape[0] for w in Ws)
+            wo = max(w.shape[1] for w in Ws)
+            h_st = jnp.stack([
+                jnp.pad(hs[j], ((0, 0), (0, wi - hs[j].shape[1])))
+                for j in active])
+            w_st = jnp.stack([
+                jnp.pad(w, ((0, wi - w.shape[0]), (0, wo - w.shape[1])))
+                for w in Ws])
+            b_st = jnp.stack([jnp.pad(b, (0, wo - b.shape[0])) for b in bs])
+            out = act(jnp.einsum("ani,aio->ano", h_st, w_st)
+                      + b_st[:, None, :])
+            new = {j: out[k][:, : Ws[k].shape[1]]
+                   for k, j in enumerate(active)}
+        for j, h in new.items():
+            if lvl == n_layers[j] - 1:
+                outs[j] = h
+            elif lvl in skips_list[j]:
+                hs[j] = jnp.concatenate([h_in_list[j], h], axis=-1)
+            else:
+                hs[j] = h
+    return outs
 
 
 class GeneralMLP(nn.Module):

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from splatfields_tpu.models.encoders import (
@@ -87,6 +88,9 @@ class SplatFields(nn.Module):
     rotation_d: int = 3
     rotation_skips: tuple = (20,)
     rotation_multires: int = 3
+    # run equal-width rank-0 heads as one batched einsum per depth level
+    # (bit-identical math, ~2x fewer TPU kernels; see mlp.fused_mlp_heads)
+    fuse_heads: bool = True
     flow_w: int = 128
     flow_d: int = 6
     flow_skips: tuple = (3,)
@@ -233,19 +237,63 @@ class SplatFields(nn.Module):
                          self.flow_multires if self.n_frames > 0 else 0)
             can_emb = _pe(xyz_can, max_mr)
 
+        # ResField ranks are active only when composition_rank > 0 AND
+        # n_frames > 0 (GeneralMLP's cap guard); only rank-0 heads fuse.
+        from splatfields_tpu.models.mlp import embed_dim, fused_mlp_heads
+        from splatfields_tpu.models.resfields import _out_act
+        fuse_ok = (self.fuse_heads and not self.is_initializing()
+                   and (self.composition_rank == 0 or self.n_frames <= 0))
+
+        def head_in(mr, xyz_h, feat_h):
+            """Replicates GeneralMLP's embedded-input construction."""
+            if mr > 0:
+                hi = (can_emb[:, : embed_dim(mr, 3)] if can_emb is not None
+                      else positional_embed(xyz_h, mr))
+            else:
+                hi = xyz_h
+            return hi if feat_h is None else jnp.concatenate(
+                [hi, feat_h], axis=-1)
+
         out: Dict[str, Any] = {}
-        out["scales"] = self.mlp_scale(xyz=geo_xyz, xyz_feat=geo_feat,
+        gmr = (lambda mr: 0 if self.geo_model_disable_pts else mr)
+        if fuse_ok and self.scale_w == self.opacity_w == self.rotation_w:
+            p = self.variables["params"]
+            o_sc, o_op, o_ro = fused_mlp_heads(
+                [p["mlp_scale"], p["mlp_opacity"], p["mlp_rotation"]],
+                [self.scale_skips, self.opacity_skips, self.rotation_skips],
+                [head_in(gmr(self.scale_multires), geo_xyz, geo_feat),
+                 head_in(gmr(self.opacity_multires), geo_xyz, geo_feat),
+                 head_in(gmr(self.rotation_multires), geo_xyz, geo_feat)])
+            out["scales"] = o_sc
+            out["opacity"] = jax.nn.sigmoid(o_op)
+            out["rotations"] = _out_act("normalize")(o_ro)
+        else:
+            out["scales"] = self.mlp_scale(xyz=geo_xyz, xyz_feat=geo_feat,
+                                           frame_id=frame_id,
+                                           xyz_embedded=can_emb)
+            out["opacity"] = self.mlp_opacity(xyz=geo_xyz, xyz_feat=geo_feat,
+                                              frame_id=frame_id,
+                                              xyz_embedded=can_emb)
+            out["rotations"] = self.mlp_rotation(
+                xyz=geo_xyz, xyz_feat=geo_feat, frame_id=frame_id,
+                xyz_embedded=can_emb)
+
+        hidden = None
+        if (fuse_ok and self.n_frames > 0 and self.rgb_w == self.flow_w):
+            p = self.variables["params"]
+            o_rgb, hidden = fused_mlp_heads(
+                [p["mlp_rgb"], p["mlp_flow"]],
+                [self.rgb_skips, self.flow_skips],
+                [head_in(self.rgb_multires, xyz_can, pts_feat),
+                 head_in(self.flow_multires, xyz_can, pts_feat)])
+            rgb = o_rgb if self.use_view_dep_rgb else jax.nn.sigmoid(o_rgb)
+        else:
+            rgb = self.mlp_rgb(xyz=xyz_can, xyz_feat=pts_feat,
+                               frame_id=frame_id, xyz_embedded=can_emb)
+            if self.n_frames > 0:
+                hidden = self.mlp_flow(xyz=xyz_can, xyz_feat=pts_feat,
                                        frame_id=frame_id,
                                        xyz_embedded=can_emb)
-        out["opacity"] = self.mlp_opacity(xyz=geo_xyz, xyz_feat=geo_feat,
-                                          frame_id=frame_id,
-                                          xyz_embedded=can_emb)
-        out["rotations"] = self.mlp_rotation(xyz=geo_xyz, xyz_feat=geo_feat,
-                                             frame_id=frame_id,
-                                             xyz_embedded=can_emb)
-
-        rgb = self.mlp_rgb(xyz=xyz_can, xyz_feat=pts_feat, frame_id=frame_id,
-                           xyz_embedded=can_emb)
         if self.use_view_dep_rgb:
             if self.is_initializing():
                 # materialize the view-dependent head's params (it is only
@@ -257,8 +305,6 @@ class SplatFields(nn.Module):
             out["rgb"] = rgb
 
         if self.n_frames > 0:
-            hidden = self.mlp_flow(xyz=xyz_can, xyz_feat=pts_feat,
-                                   frame_id=frame_id, xyz_embedded=can_emb)
             flow, means3d = self.flow_head(
                 hidden=hidden, pts=xyz_can, time_step=time_step,
                 frame_id=frame_id)

@@ -126,18 +126,32 @@ def _fwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
     color_ref[0] = jnp.zeros((3, p), jnp.float32)
     depth_ref[0] = jnp.zeros((1, p), jnp.float32)
 
+    # double-buffered chunk DMA: prefetch chunk c+1 into the other slot
+    # before waiting on chunk c, so HBM latency overlaps the blend math
+    # (the serial start/wait version spent ~half its wall time stalled).
+    def _copy(c, slot):
+        return pltpu.make_async_copy(
+            pack_hbm.at[pl.ds(start + c * k, k), :],
+            chunk_vmem.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy(0, 0).start()
+
     def cond(state):
         c, t_true, t_full = state
         return (c < n_chunks) & (jnp.max(t_full) >= _T_EPS)
 
     def body(state):
         c, t_true, t_full = state
-        off = start + c * k
-        dma = pltpu.make_async_copy(
-            pack_hbm.at[pl.ds(off, k), :], chunk_vmem, sem)
-        dma.start()
-        dma.wait()
-        attrs = chunk_vmem[:, :]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _copy(c + 1, 1 - slot).start()
+
+        _copy(c, slot).wait()
+        attrs = chunk_vmem[slot]
         # mask rows beyond the tile's count
         row = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
         in_count = (c * k + row) < count
@@ -160,8 +174,16 @@ def _fwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
         return c + 1, t_true, t_full
 
     ones = jnp.ones((1, p), jnp.float32)
-    _, t_true, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), ones, ones))
+    c_exit, t_true, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ones, ones))
     tfinal_ref[0] = t_true
+
+    # early exit leaves exactly one outstanding prefetch (chunk c_exit,
+    # started by body c_exit-1); drain it so the semaphore is clean for
+    # the next grid step
+    @pl.when(c_exit < n_chunks)
+    def _():
+        _copy(c_exit, jax.lax.rem(c_exit, 2)).wait()
 
 
 @functools.partial(
@@ -193,8 +215,8 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids, tiles_x,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((k, _AP), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, k, _AP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
@@ -254,15 +276,35 @@ def _bwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
     ones = jnp.ones((1, p), jnp.float32)
     zeros = jnp.zeros((1, p), jnp.float32)
 
+    # double-buffered DMA in AND out (see _fwd_kernel): chunk c+1 streams
+    # in while chunk c computes; the grad write-back for chunk c overlaps
+    # the next chunk's math and is only waited on when its buffer is
+    # about to be reused (chunk c+2) or at drain time.
+    def _copy_in(c, slot):
+        return pltpu.make_async_copy(
+            pack_hbm.at[pl.ds(start + c * k, k), :],
+            chunk_vmem.at[slot], sem_in.at[slot])
+
+    def _copy_out(c, slot):
+        return pltpu.make_async_copy(
+            grad_vmem.at[slot],
+            grad_hbm.at[pl.ds(start + c * k, k), :], sem_out.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy_in(0, 0).start()
+
     # second pass: prefix accumulators -> suffix = total - prefix(<=i)
     def bwd_pass(state):
         c, t_full, pre_c, pre_d = state
-        off = start + c * k
-        dma = pltpu.make_async_copy(
-            pack_hbm.at[pl.ds(off, k), :], chunk_vmem, sem_in)
-        dma.start()
-        dma.wait()
-        attrs = chunk_vmem[:, :]
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            _copy_in(c + 1, 1 - slot).start()
+
+        _copy_in(c, slot).wait()
+        attrs = chunk_vmem[slot]
         row = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
         in_count = jnp.broadcast_to((c * k + row) < count, attrs.shape)
         attrs = jnp.where(in_count, attrs, 0.0)
@@ -312,17 +354,34 @@ def _bwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
         grad_rows = jnp.pad(grad_rows,
                             ((0, 0), (0, _AP - grad_rows.shape[1])))
         grad_rows = jnp.where(in_count[:, :1], grad_rows, 0.0)
-        grad_vmem[:, :] = grad_rows
-        dma_out = pltpu.make_async_copy(
-            grad_vmem, grad_hbm.at[pl.ds(off, k), :], sem_out)
-        dma_out.start()
-        dma_out.wait()
+
+        # chunk c-2 used this same buffer; its write-back must land first
+        @pl.when(c >= 2)
+        def _():
+            _copy_out(c - 2, slot).wait()
+
+        grad_vmem[slot] = grad_rows
+        _copy_out(c, slot).start()
 
         return c + 1, s[-1:, :], pre_c + jnp.sum(contrib_c, 0, keepdims=True), \
             pre_d + jnp.sum(contrib_d, 0, keepdims=True)
 
-    jax.lax.while_loop(total_cond, bwd_pass,
-                       (jnp.int32(0), ones, zeros, zeros))
+    c_exit, *_ = jax.lax.while_loop(total_cond, bwd_pass,
+                                    (jnp.int32(0), ones, zeros, zeros))
+
+    # drain: the last (up to) two grad write-backs, plus the one
+    # outstanding input prefetch on early exit
+    @pl.when(c_exit >= 2)
+    def _():
+        _copy_out(c_exit - 2, jax.lax.rem(c_exit - 2, 2)).wait()
+
+    @pl.when(c_exit >= 1)
+    def _():
+        _copy_out(c_exit - 1, jax.lax.rem(c_exit - 1, 2)).wait()
+
+    @pl.when(c_exit < n_chunks)
+    def _():
+        _copy_in(c_exit, jax.lax.rem(c_exit, 2)).wait()
 
 
 @functools.partial(
@@ -366,10 +425,10 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, tile_ids, g_color,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # grads (HBM)
         scratch_shapes=[
-            pltpu.VMEM((k, _AP), jnp.float32),
-            pltpu.VMEM((k, _AP), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, k, _AP), jnp.float32),
+            pltpu.VMEM((2, k, _AP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(

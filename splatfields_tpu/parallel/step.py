@@ -107,6 +107,7 @@ def _sharded_render_view(attrs, cam, bg, width, height, sh_degree, pipe,
         jax.lax.stop_gradient(pre.depths),
         pre.radii, tiles_x, tiles_y, tile_size,
         tile_cap=pipe.tile_cap,
+        dup_cap=getattr(pipe, "dup_factor", 8) * means2d.shape[0],
         build_table=(impl != "pallas"))
 
     # Local slice of the tile grid. tile_start has num_tiles+1 entries; pad
@@ -271,12 +272,12 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
 
         new_sp, new_sp_opt = splat_params, splat_opt
         if enable_gaussian_opt:
-            new_sp, new_sp_opt = splats_lib.adam_update(
+            new_sp, new_sp_opt = splats_lib.adam_update_fused(
                 splat_params, g_sp, splat_opt, splat_lrs)
         new_fp = field_vars.get("params") if field_mode else {}
         new_f_opt = field_opt
         if field_mode:
-            new_fp, new_f_opt = splats_lib.adam_update(
+            new_fp, new_f_opt = splats_lib.adam_update_fused(
                 field_vars["params"], g_fp, field_opt, field_lr)
 
         # densification stats on the LOCAL capacity chunk: last local view,

@@ -108,6 +108,7 @@ def render_view(attrs, cam, bg, width, height, sh_degree, pipe, net=None,
         screenspace_offset=screenspace_offset,
         tile_size=pipe.tile_size, tile_cap=pipe.tile_cap,
         k_chunk=pipe.k_chunk,
+        dup_cap=getattr(pipe, "dup_factor", 8) * attrs["means3d"].shape[0],
     )
 
 
@@ -289,11 +290,11 @@ def make_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
         # --- optimizer updates ---
         new_sp, new_sp_opt = splat_params, splat_opt
         if enable_gaussian_opt:
-            new_sp, new_sp_opt = splats_lib.adam_update(
+            new_sp, new_sp_opt = splats_lib.adam_update_fused(
                 splat_params, g_sp, splat_opt, splat_lrs)
         new_fp, new_f_opt = (field_vars.get("params") if field_mode else {}), field_opt
         if field_mode:
-            new_fp, new_f_opt = splats_lib.adam_update(
+            new_fp, new_f_opt = splats_lib.adam_update_fused(
                 field_vars["params"], g_fp, field_opt, field_lr)
 
         # --- densification stats (last view, reference train.py:280-307) ---

@@ -311,6 +311,35 @@ class TestSplatFields:
         assert rgb.shape == (4, 3)
         assert (np.asarray(rgb) >= 0).all()
 
+    def test_fused_heads_match_sequential(self):
+        """fuse_heads=True (batched einsum per level) must be numerically
+        identical to the sequential GeneralMLP path in every fusable
+        config — and silently fall back for active ResField ranks."""
+        cases = [
+            dict(n_frames=0),
+            dict(n_frames=0, geo_model_disable_pts=True),
+            dict(n_frames=0, use_view_dep_rgb=True),
+            dict(n_frames=0, deform_weight=0.0),
+            dict(n_frames=6, flow_model="offset", composition_rank=0),
+            dict(n_frames=6, flow_model="se3", composition_rank=4),  # fallback
+        ]
+        for i, extra in enumerate(cases):
+            m1 = SplatFields(fuse_heads=True, **self._small_cfg(), **extra)
+            m0 = SplatFields(fuse_heads=False, **self._small_cfg(), **extra)
+            rng = np.random.RandomState(40 + i)
+            xyz = jnp.asarray(rng.uniform(-1, 1, (9, 3)).astype(np.float32))
+            t = jnp.full((9, 1), 0.4) if extra.get("n_frames") else None
+            v = m0.init(jax.random.PRNGKey(40 + i), xyz, t)
+            o0 = m0.apply(v, xyz, t)
+            o1 = m1.apply(v, xyz, t)
+            for k in o0:
+                if o0[k] is None:
+                    assert o1[k] is None, k
+                    continue
+                np.testing.assert_allclose(
+                    np.asarray(o0[k]), np.asarray(o1[k]), atol=1e-6,
+                    err_msg=f"case {extra} key {k}")
+
     def test_precomputed_planes_match(self):
         m = SplatFields(n_frames=0, **self._small_cfg())
         xyz = jnp.asarray(np.random.RandomState(26).uniform(-1, 1, (6, 3)).astype(np.float32))
