@@ -70,7 +70,11 @@ def build_view_batch(cams, num_views, bg, with_mask, with_depth):
 
 def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
              save_iterations, args=None, quiet=False,
-             progress_callback=None, resume=False):
+             progress_callback=None, resume=False, mesh=None):
+    """``mesh``: optional ('data', 'model') jax.sharding.Mesh — train with
+    the sharded step (parallel/step.py) instead of the single-device one.
+    Requires ``n_splats == -1`` (no subsampling) and ``num_views``
+    divisible by the data axis; capacity is rounded up to the model axis."""
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     is_static = model_cfg.is_static
@@ -89,6 +93,18 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
 
     params, stats = scene.splats, scene.splat_stats
     splat_opt = splats_lib.adam_init(params)
+    if mesh is not None:
+        from splatfields_tpu.parallel import step as pstep
+        if opt_cfg.n_splats > 0:
+            raise ValueError("--n_splats subsampling is not supported with "
+                             "a device mesh (pass -1); see parallel/step.py")
+        n_model = mesh.shape["model"]
+        if params.capacity % n_model:
+            params, stats, splat_opt = _grow_capacity(
+                params, stats, splat_opt,
+                -(-params.capacity // n_model) * n_model)
+        params, stats, splat_opt = pstep.shard_train_state(
+            params, stats, splat_opt, mesh)
     xyz_sched = expon_lr_func(
         lr_init=opt_cfg.position_lr_init * 5.0,
         lr_final=opt_cfg.position_lr_final * 5.0,
@@ -121,18 +137,35 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
     step_cache = {}
 
     def get_step(field_mode, sh_deg):
-        key = (field_mode, sh_deg, params.capacity)
+        key = (field_mode, sh_deg, params.capacity, pipe_cfg.dup_factor)
         if key not in step_cache:
             # mask-loss path requires masks; disable if absent
             opt_eff = opt_cfg
             if not with_mask and opt_cfg.lambda_mask > 0:
                 import dataclasses as dc
                 opt_eff = dc.replace(opt_cfg, lambda_mask=0.0)
-            step_cache[key] = train_lib.make_train_step(
-                deform.net if deform else None, opt_eff, pipe_cfg, w, h,
-                num_views, field_mode, n_frames, sh_deg,
-                n_splats=opt_cfg.n_splats,
-                enable_gaussian_opt=enable_g_opt)
+            if mesh is not None:
+                from splatfields_tpu.parallel import step as pstep
+                n_data = mesh.shape["data"]
+                if num_views % n_data:
+                    raise ValueError(
+                        f"num_views {num_views} must divide by the data "
+                        f"axis {n_data}")
+                sstep = pstep.make_sharded_train_step(
+                    deform.net if deform else None, opt_eff, pipe_cfg, w, h,
+                    num_views // n_data, field_mode, n_frames, mesh, sh_deg,
+                    enable_gaussian_opt=enable_g_opt)
+
+                def step(p, s, so, fv, fo, batch, lrs, flr, rng):
+                    return (*sstep(p, s, so, fv, fo, batch, lrs, flr), rng)
+
+                step_cache[key] = step
+            else:
+                step_cache[key] = train_lib.make_train_step(
+                    deform.net if deform else None, opt_eff, pipe_cfg, w, h,
+                    num_views, field_mode, n_frames, sh_deg,
+                    n_splats=opt_cfg.n_splats,
+                    enable_gaussian_opt=enable_g_opt)
         return step_cache[key]
 
     active_sh = 0
@@ -211,10 +244,10 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
         if iteration > 1500 and opt_cfg.overwrite_loc and field_mode:
             # copy field means back into _xyz (reference train.py:153-155)
             import dataclasses as dc
-            new_xyz = np.asarray(params.xyz)
-            m3d = np.asarray(out.means3d)
-            if m3d.shape[0] == new_xyz.shape[0]:
-                params = dc.replace(params, xyz=jnp.asarray(m3d))
+            if out.means3d.shape[0] == params.xyz.shape[0]:
+                # keep the capacity-axis sharding when training on a mesh
+                m3d = jax.device_put(out.means3d, params.xyz.sharding)
+                params = dc.replace(params, xyz=m3d)
 
         ema_loss = 0.4 * out_loss + 0.6 * ema_loss
         if iteration % 10 == 0:
@@ -226,12 +259,20 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 if k not in ("l1",):
                     log[f"train_loss_patches/{k}"] = v
             writer.scalars(iteration, log)
+        dropped = int(out.loss_dict.get("bin_dropped", 0))
+        if dropped > 0:
+            # grow the static duplicated-instance budget and re-jit (same
+            # pattern as capacity growth) so no instances are lost
+            import dataclasses as dc
+            new_factor = max(pipe_cfg.dup_factor + 1,
+                             int(pipe_cfg.dup_factor * 1.5))
+            print(f"iter {iteration}: {dropped} rasterizer instances beyond "
+                  f"dup budget — growing dup_factor "
+                  f"{pipe_cfg.dup_factor} -> {new_factor} (re-jit)",
+                  flush=True)
+            pipe_cfg = dc.replace(pipe_cfg, dup_factor=new_factor)
+            step_cache.clear()
         if iteration % 100 == 0:
-            dropped = int(out.loss_dict.get("bin_dropped", 0))
-            if dropped > 0:
-                print(f"WARNING iter {iteration}: {dropped} rasterizer "
-                      "instances beyond dup_cap were dropped — consider a "
-                      "larger --tile_cap/dup budget", flush=True)
             if not quiet:
                 print(f"iter {iteration}: loss {ema_loss:.5f} "
                       f"({np.mean(times[-50:]) * 1000:.1f} ms/it)",
@@ -243,6 +284,13 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                     and iteration % opt_cfg.densification_interval == 0):
                 size_thr = 20.0 if iteration > opt_cfg.opacity_reset_interval else 0.0
                 rng, drng = jax.random.split(rng)
+                if mesh is not None:
+                    # densify on unsharded host copies (compaction reorders
+                    # the capacity axis), then re-shard
+                    unshard = lambda t: jax.tree.map(
+                        lambda a: jnp.asarray(np.asarray(a)), t)
+                    params, stats = unshard(params), unshard(stats)
+                    splat_opt = unshard(splat_opt)
                 params, stats, splat_opt, dropped = splats_lib.densify_and_prune(
                     params, stats, splat_opt, drng,
                     opt_cfg.densify_grad_threshold, 0.005,
@@ -250,10 +298,17 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                     percent_dense=opt_cfg.percent_dense)
                 dropped = int(dropped)
                 if dropped > 0:
+                    new_cap = int(params.capacity * 1.5) + dropped
+                    if mesh is not None:
+                        n_model = mesh.shape["model"]
+                        new_cap = -(-new_cap // n_model) * n_model
                     params, stats, splat_opt = _grow_capacity(
-                        params, stats, splat_opt,
-                        int(params.capacity * 1.5) + dropped)
+                        params, stats, splat_opt, new_cap)
                     step_cache.clear()
+                if mesh is not None:
+                    from splatfields_tpu.parallel import step as pstep
+                    params, stats, splat_opt = pstep.shard_train_state(
+                        params, stats, splat_opt, mesh)
 
         if iteration in test_iterations:
             cur = evaluate(scene, params, stats, deform, model_cfg,
@@ -373,12 +428,36 @@ def main(argv=None):
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of iterations "
                              "20-30 into <model_path>/trace")
+    # --- multi-chip / multi-host (new layer, SURVEY 5.8) ---
+    parser.add_argument("--mesh_model", type=int, default=0,
+                        help="model-axis size of the ('data','model') device "
+                             "mesh; 0 = single-device step (default)")
+    parser.add_argument("--mesh_data", type=int, default=1,
+                        help="data-axis size of the device mesh")
+    parser.add_argument("--coordinator_address", type=str, default="",
+                        help="host:port of process 0 (multi-host pods)")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="total jax processes (multi-host pods)")
+    parser.add_argument("--process_id", type=int, default=0,
+                        help="this process's index (multi-host pods)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
     if args.configs:
         args = cfg_lib.merge_yaml_config(args, args.configs)
     if args.detect_anomaly:
         jax.config.update("jax_debug_nans", True)
+
+    mesh = None
+    if args.num_processes > 1 or args.mesh_model > 0:
+        from splatfields_tpu.parallel import mesh as mesh_lib
+        mesh_lib.initialize_distributed(
+            args.coordinator_address or None, args.num_processes or None,
+            args.process_id)
+        n_model = args.mesh_model or (len(jax.devices()) // args.mesh_data)
+        mesh = mesh_lib.make_mesh(n_devices=n_model * args.mesh_data,
+                                  data=args.mesh_data)
+        print(f"Device mesh: data={args.mesh_data} model={n_model} "
+              f"({args.num_processes} process(es))")
 
     model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
     print("Optimizing " + model_cfg.model_path)
@@ -396,7 +475,7 @@ def main(argv=None):
     training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
              args.test_iterations, args.save_iterations, args=args,
              quiet=args.quiet, resume=args.resume,
-             progress_callback=progress_callback)
+             progress_callback=progress_callback, mesh=mesh)
     print("\nTraining complete.")
 
 

@@ -196,6 +196,40 @@ class TestFieldTraining:
         assert np.isfinite(losses).all()
 
 
+class TestMeshTraining:
+    def test_static_training_on_device_mesh(self, blender_scene, tmp_path):
+        """Full training loop on a ('data','model') mesh (train CLI's
+        --mesh_model path): sharded step + densify with shard/unshard +
+        capacity growth rounded to the model axis."""
+        from splatfields_tpu.train import training
+        from splatfields_tpu.parallel.mesh import make_mesh
+
+        args = base_args(blender_scene, str(tmp_path / "mesh_run"),
+                         ["--is_static", "--iterations", "30",
+                          "--num_pts", "500"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        opt_cfg.iterations = 30
+        opt_cfg.densify_from_iter = 5
+        opt_cfg.densification_interval = 10
+        opt_cfg.densify_grad_threshold = 1e-8  # force clones/splits
+        mesh = make_mesh(4, data=1)
+        losses, counts = [], []
+        params, stats, _, _ = training(
+            model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+            test_iterations=[], save_iterations=[30], args=args, quiet=True,
+            progress_callback=lambda it, loss, p, s: (
+                losses.append(loss),
+                counts.append(int(np.asarray(s.valid).sum()))),
+            mesh=mesh)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
+        assert counts[-1] != counts[0]          # densify ran on the mesh
+        assert params.capacity % 4 == 0          # rounded to model axis
+        ply = os.path.join(model_cfg.model_path,
+                           "point_cloud/iteration_30/point_cloud.ply")
+        assert os.path.exists(ply)
+
+
 class TestResumeAndRender:
     def test_resume_continues(self, blender_scene, tmp_path):
         from splatfields_tpu.train import training
