@@ -215,6 +215,29 @@ class TestGridSample:
         )[0, :, 0].T.numpy()  # [N, C]
         np.testing.assert_allclose(ours, tor, atol=1e-5)
 
+    def test_const_coords_fast_path(self):
+        """Row-gather fwd / channel-scatter bwd variant must match
+        grid_sample_2d's forward AND plane gradient exactly (its coords
+        cotangent is zero by contract)."""
+        rng = np.random.RandomState(5)
+        plane = jnp.asarray(rng.randn(4, 9, 7).astype(np.float32))
+        coords = jnp.asarray(
+            (rng.rand(60, 2).astype(np.float32) * 2.4 - 1.2))
+        ref = gs_ops.grid_sample_2d(plane, coords)
+        fast = gs_ops.grid_sample_2d_const_coords(plane, coords)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-5)
+        g = jnp.asarray(rng.rand(60, 4).astype(np.float32))
+        g_ref = jax.grad(
+            lambda p: jnp.sum(gs_ops.grid_sample_2d(p, coords) * g))(plane)
+        g_fast = jax.grad(lambda p: jnp.sum(
+            gs_ops.grid_sample_2d_const_coords(p, coords) * g))(plane)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   atol=1e-5)
+        g_coords = jax.grad(lambda c: jnp.sum(
+            gs_ops.grid_sample_2d_const_coords(plane, c)))(coords)
+        assert float(jnp.abs(g_coords).max()) == 0.0
+
     @pytest.mark.parametrize("align", [False, True])
     def test_3d_matches_torch(self, align):
         rng = np.random.RandomState(3)
