@@ -88,9 +88,11 @@ class SplatFields(nn.Module):
     rotation_d: int = 3
     rotation_skips: tuple = (20,)
     rotation_multires: int = 3
-    # run equal-width rank-0 heads as one batched einsum per depth level
-    # (bit-identical math, ~2x fewer TPU kernels; see mlp.fused_mlp_heads)
-    fuse_heads: bool = True
+    # optionally run equal-width rank-0 heads as one batched einsum per
+    # depth level (bit-identical math; see mlp.fused_mlp_heads). Measured
+    # neutral on v5e at 100k splats — XLA already schedules the small
+    # sequential matmuls well — so the default stays off.
+    fuse_heads: bool = False
     flow_w: int = 128
     flow_d: int = 6
     flow_skips: tuple = (3,)

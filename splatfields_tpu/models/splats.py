@@ -185,46 +185,6 @@ def adam_update(params: Any, grads: Any, state: AdamState, lrs: Any,
     return new_params, AdamState(count=count, mu=mu, nu=nu)
 
 
-def adam_update_fused(params: Any, grads: Any, state: AdamState, lrs: Any,
-                      b1: float = 0.9, b2: float = 0.999,
-                      eps: float = 1e-15) -> tuple[Any, AdamState]:
-    """:func:`adam_update` executed as ONE fused pass over a raveled vector.
-
-    Identical math (torch.optim.Adam parity, tested against adam_update in
-    tests/test_splats.py), but the field nets hold their parameters in ~80
-    small leaves and the per-leaf tree-map lowers to hundreds of tiny TPU
-    kernels whose dispatch overhead dominates (measured ~5 ms/step vs
-    <0.5 ms fused). Raveling turns the whole update into a single
-    elementwise kernel; the concat/slice copies are bandwidth-trivial.
-
-    ``lrs`` may be a scalar or a pytree of per-leaf scalars (the splat
-    per-group LRs); per-leaf scalars are broadcast into the flat vector,
-    which XLA fuses into the update without materializing.
-    """
-    from jax.flatten_util import ravel_pytree
-
-    flat_p, unravel = ravel_pytree(params)
-    flat_g, _ = ravel_pytree(grads)
-    flat_m, _ = ravel_pytree(state.mu)
-    flat_v, _ = ravel_pytree(state.nu)
-    if isinstance(lrs, (float, int)) or (
-            hasattr(lrs, "ndim") and lrs.ndim == 0):
-        flat_lr = lrs
-    else:
-        leaves = jax.tree.leaves(
-            jax.tree.map(lambda p, lr: jnp.broadcast_to(
-                jnp.asarray(lr, p.dtype), (p.size,)), params, lrs))
-        flat_lr = jnp.concatenate(leaves)
-
-    count = state.count + 1
-    c1 = 1.0 - b1 ** count.astype(jnp.float32)
-    c2 = 1.0 - b2 ** count.astype(jnp.float32)
-    m = b1 * flat_m + (1 - b1) * flat_g
-    v = b2 * flat_v + (1 - b2) * flat_g * flat_g
-    p = flat_p - flat_lr * (m / c1) / (jnp.sqrt(v / c2) + eps)
-    return unravel(p), AdamState(count=count, mu=unravel(m), nu=unravel(v))
-
-
 def splat_lr_tree(position_lr: float, feature_lr: float, opacity_lr: float,
                   scaling_lr: float, rotation_lr: float,
                   spatial_lr_scale: float = 5.0) -> SplatParams:

@@ -272,12 +272,12 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
 
         new_sp, new_sp_opt = splat_params, splat_opt
         if enable_gaussian_opt:
-            new_sp, new_sp_opt = splats_lib.adam_update_fused(
+            new_sp, new_sp_opt = splats_lib.adam_update(
                 splat_params, g_sp, splat_opt, splat_lrs)
         new_fp = field_vars.get("params") if field_mode else {}
         new_f_opt = field_opt
         if field_mode:
-            new_fp, new_f_opt = splats_lib.adam_update_fused(
+            new_fp, new_f_opt = splats_lib.adam_update(
                 field_vars["params"], g_fp, field_opt, field_lr)
 
         # densification stats on the LOCAL capacity chunk: last local view,

@@ -290,11 +290,11 @@ def make_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
         # --- optimizer updates ---
         new_sp, new_sp_opt = splat_params, splat_opt
         if enable_gaussian_opt:
-            new_sp, new_sp_opt = splats_lib.adam_update_fused(
+            new_sp, new_sp_opt = splats_lib.adam_update(
                 splat_params, g_sp, splat_opt, splat_lrs)
         new_fp, new_f_opt = (field_vars.get("params") if field_mode else {}), field_opt
         if field_mode:
-            new_fp, new_f_opt = splats_lib.adam_update_fused(
+            new_fp, new_f_opt = splats_lib.adam_update(
                 field_vars["params"], g_fp, field_opt, field_lr)
 
         # --- densification stats (last view, reference train.py:280-307) ---

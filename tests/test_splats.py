@@ -70,47 +70,6 @@ class TestAdam:
         np.testing.assert_allclose(dx, 5e-3, rtol=1e-4)
         np.testing.assert_allclose(dop, 0.05, rtol=1e-4)
 
-    def test_fused_matches_treemap(self):
-        """adam_update_fused (single raveled kernel) == adam_update, for
-        both a per-group lr tree (splats) and a scalar lr (nested field
-        param dict with many leaves)."""
-        params, _ = make_splats()
-        lrs = S.splat_lr_tree(1e-3, 2.5e-3, 0.05, 1e-3, 1e-3)
-        rng = np.random.RandomState(7)
-        grads = jax.tree.map(
-            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
-            params)
-        st_a, st_b = S.adam_init(params), S.adam_init(params)
-        pa, pb = params, params
-        for _ in range(3):
-            pa, st_a = S.adam_update(pa, grads, st_a, lrs)
-            pb, st_b = S.adam_update_fused(pb, grads, st_b, lrs)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
-            pa, pb)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
-            st_a.nu, st_b.nu)
-
-        field = {"lin": {"kernel": jnp.asarray(rng.randn(8, 4), jnp.float32),
-                         "bias": jnp.zeros((4,), jnp.float32)},
-                 "emb": jnp.asarray(rng.randn(5, 8), jnp.float32)}
-        fg = jax.tree.map(
-            lambda p: jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
-            field)
-        st_a, st_b = S.adam_init(field), S.adam_init(field)
-        fa, fb = field, field
-        for _ in range(3):
-            fa, st_a = S.adam_update(fa, fg, st_a, 1e-3)
-            fb, st_b = S.adam_update_fused(fb, fg, st_b, 1e-3)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5),
-            fa, fb)
-
-
 class TestDensify:
     def _stats_with_grads(self, stats, grads_value, n):
         accum = np.zeros(stats.valid.shape[0], np.float32)
