@@ -104,6 +104,10 @@ class PipelineConfig:
     # default 8N spent ~45% of ~15 ms on padding at 100k splats); the train
     # loop grows it 1.5x and re-jits whenever instances are dropped.
     dup_factor: int = 5
+    # per-block instance keep budget for the ring-exchange sharded path
+    # (parallel/ring.py); None = 4x the uniform per-shard share of the
+    # block's dup budget
+    ring_keep: int | None = None
 
 
 @dataclasses.dataclass

@@ -93,6 +93,14 @@ class SplatFields(nn.Module):
     # neutral on v5e at 100k splats — XLA already schedules the small
     # sequential matmuls well — so the default stays off.
     fuse_heads: bool = False
+    # fully-fused Pallas head kernel (ops/fused_mlp.py): activations stay
+    # in VMEM across the whole head stack instead of round-tripping HBM
+    # per layer. 'auto' currently means OFF: measured 44 ms fwd+bwd vs the
+    # flax path's ~8 ms at 100k splats on v5e (bench A/B 2026-08-17,
+    # scripts/profile_fused.py) — pipeline/layout pathology under
+    # investigation. 'on' forces it (interpret mode off-TPU, for tests).
+    fused_pallas: str = "auto"
+    fused_block: int = 1024
     flow_w: int = 128
     flow_d: int = 6
     flow_skips: tuple = (3,)
@@ -217,6 +225,9 @@ class SplatFields(nn.Module):
 
         pts_feat = self.extract_features(xyz_in, t, frame_id, planes)
 
+        if self._fused_pallas_active():
+            return self._call_fused(xyz_in, pts_feat)
+
         if self.deform_weight > 0:
             delta = self.mlp_deform(xyz=xyz_in, xyz_feat=pts_feat,
                                     frame_id=frame_id)
@@ -315,6 +326,64 @@ class SplatFields(nn.Module):
 
         out["flow"] = flow
         out["means3D"] = means3d
+        return out
+
+    def _fused_pallas_active(self) -> bool:
+        """The fully-fused Pallas head path covers the static (3-D) rank-0
+        point-conditioned configuration — exactly the released Blender/DTU
+        protocols. 4-D (flow head), geo_model_disable_pts and active
+        ResField ranks fall back to the flax path."""
+        import os
+        mode = os.environ.get("SPLATFIELDS_FUSED_MLP", self.fused_pallas)
+        if mode == "off" or self.is_initializing():
+            return False
+        ok = (self.n_frames <= 0 and not self.geo_model_disable_pts)
+        if not ok:
+            return False
+        if mode == "on":
+            return True
+        return False  # 'auto' = off pending the v5e perf fix (attr note)
+
+    def _call_fused(self, xyz_in: jnp.ndarray,
+                    pts_feat: Optional[jnp.ndarray]) -> Dict[str, Any]:
+        from splatfields_tpu.ops.fused_mlp import (
+            fused_heads, pack_params, plan_from_module)
+        interpret = jax.default_backend() == "cpu"
+        cdt = jnp.float32 if interpret else jnp.bfloat16
+        params = self.variables["params"]
+        feat = (pts_feat if self.feat_dim > 0
+                else jnp.zeros((xyz_in.shape[0], 0), jnp.float32))
+
+        if self.deform_weight > 0:
+            plan_a = plan_from_module(self, "deform")
+            wa, ba = pack_params(params, plan_a)
+            emb_d = positional_embed(xyz_in, self.deform_multires)
+            (delta,) = fused_heads(plan_a, self.fused_block, cdt, interpret,
+                                   emb_d, feat, wa, ba)
+            xyz_can = xyz_in + self.deform_weight * delta
+        else:
+            xyz_can = xyz_in
+
+        plan_b = plan_from_module(self, "downstream")
+        wb, bb = pack_params(params, plan_b)
+        max_mr = max(self.rgb_multires, self.scale_multires,
+                     self.opacity_multires, self.rotation_multires)
+        emb_c = positional_embed(xyz_can, max_mr)
+        rgb_pre, sc, op, ro = fused_heads(
+            plan_b, self.fused_block, cdt, interpret, emb_c, feat, wb, bb)
+
+        from splatfields_tpu.models.resfields import _out_act
+        out: Dict[str, Any] = {
+            "scales": sc,
+            "opacity": jax.nn.sigmoid(op),
+            "rotations": _out_act("normalize")(ro),
+            "flow": None,
+            "means3D": xyz_can,
+        }
+        if self.use_view_dep_rgb:
+            out["rgb_feat"] = rgb_pre
+        else:
+            out["rgb"] = jax.nn.sigmoid(rgb_pre)
         return out
 
     def rgb_from_viewdir(self, rgb_feat: jnp.ndarray,

@@ -8,6 +8,8 @@ padding_mode='zeros', align_corners=False) and 3-D grids
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -118,6 +120,121 @@ def _gs2_bwd(res, g):
 
 
 grid_sample_2d_const_coords.defvjp(_gs2_fwd, _gs2_bwd)
+
+
+def _quad_weights(c, size):
+    """Per-axis (low, high) sub-row weights for the quad-packed gather.
+
+    The quad table's row at cell i holds the values of cells (i, i+1), so a
+    point whose floor cell is i0 normally weights the halves (w0, w1). Two
+    edge cases reroute weights so a single clipped gather index still reads
+    the right values:
+    - i0 == -1: the gather clamps to cell 0, whose FIRST half holds cell 0
+      = the point's i1 corner -> weights (w1, 0).
+    - i0 == size-1: the second half wrapped garbage (or zero pad) -> (w0, 0).
+    Out-of-range floors get (0, 0) — torch zeros-padding semantics.
+    """
+    i = jnp.floor(c)
+    w1 = c - i
+    w0 = 1.0 - w1
+    in0 = (i >= 0) & (i <= size - 1)
+    a0 = jnp.where(in0, w0, 0.0) + jnp.where(i == -1, w1, 0.0)
+    a1 = jnp.where((i >= 0) & (i <= size - 2), w1, 0.0)
+    ic = jnp.clip(i, 0, size - 1).astype(jnp.int32)
+    return a0, a1, ic
+
+
+def pack_quad_rows(plane: jnp.ndarray) -> jnp.ndarray:
+    """[C, H, W] -> [H*W, 4C] quad table: row (y, x) holds the four bilinear
+    corner values [P(y,x), P(y,x+1), P(y+1,x), P(y+1,x+1)] (zero padded at
+    the bottom/right edge), so one row gather fetches a whole bilinear
+    footprint. N-independent — build once per step next to the CNN decode."""
+    C, H, W = plane.shape
+    p = jnp.transpose(plane, (1, 2, 0))  # [H, W, C]
+    zx = jnp.zeros((H, 1, C), p.dtype)
+    zy = jnp.zeros((1, W, C), p.dtype)
+    pr = jnp.concatenate([p[:, 1:], zx], axis=1)
+    pd = jnp.concatenate([p[1:], zy], axis=0)
+    pdr = jnp.concatenate([pd[:, 1:], zx], axis=1)
+    return jnp.concatenate([p, pr, pd, pdr], axis=-1).reshape(H * W, 4 * C)
+
+
+def _quad_idx_w(coords, H, W):
+    a0, a1, ixc = _quad_weights(
+        _unnormalize(coords[..., 0], W, False), W)
+    b0, b1, iyc = _quad_weights(
+        _unnormalize(coords[..., 1], H, False), H)
+    w4 = jnp.stack([a0 * b0, a1 * b0, a0 * b1, a1 * b1], axis=1)  # [N, 4]
+    return iyc * W + ixc, w4
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _quad_sample(quad_rows, coords, hw):
+    H, W = hw
+    n, C = coords.shape[0], quad_rows.shape[1] // 4
+    idx, w4 = _quad_idx_w(coords, H, W)
+    rows = quad_rows[idx]  # ONE gather [N, 4C]
+    return jnp.sum(rows.reshape(n, 4, C) * w4[:, :, None], axis=1)
+
+
+def _quad_fwd(quad_rows, coords, hw):
+    return _quad_sample(quad_rows, coords, hw), (quad_rows.shape, coords)
+
+
+def _quad_bwd(hw, res, g):
+    (n_rows, C4), coords = res
+    H, W = hw
+    n, C = coords.shape[0], C4 // 4
+    idx, w4 = _quad_idx_w(coords, H, W)
+    rows_g = (g[:, None, :] * w4[:, :, None]).reshape(n, C4)
+    grad = jnp.zeros((n_rows, C4), g.dtype)
+    grad = grad.at[idx].add(rows_g)  # ONE scatter
+    return grad, jnp.zeros_like(coords)
+
+
+_quad_sample.defvjp(_quad_fwd, _quad_bwd)
+
+
+def quad_rows_grad_to_plane(grad_quad: jnp.ndarray, H: int,
+                            W: int) -> jnp.ndarray:
+    """Fold a [H*W, 4C] quad-table cotangent back to the [C, H, W] plane:
+    plane cell (y, x) appears in quad rows (y,x), (y,x-1), (y-1,x),
+    (y-1,x-1) — sum the four shifted quarters. (Exposed for tests; the
+    training path differentiates through pack_quad_rows instead.)"""
+    C4 = grad_quad.shape[1]
+    C = C4 // 4
+    gq = grad_quad.reshape(H, W, C4)
+    p0 = gq[..., :C]
+    p1 = gq[..., C:2 * C]
+    p2 = gq[..., 2 * C:3 * C]
+    p3 = gq[..., 3 * C:]
+    zx = jnp.zeros((H, 1, C), gq.dtype)
+    zy = jnp.zeros((1, W, C), gq.dtype)
+    out = (p0
+           + jnp.concatenate([zx, p1[:, :-1]], axis=1)
+           + jnp.concatenate([zy, p2[:-1]], axis=0))
+    p3s = jnp.concatenate([zx, p3[:, :-1]], axis=1)
+    out = out + jnp.concatenate([zy, p3s[:-1]], axis=0)
+    return jnp.transpose(out, (2, 0, 1))
+
+
+def grid_sample_2d_quad(plane: jnp.ndarray, coords: jnp.ndarray,
+                        quad_rows: jnp.ndarray | None = None) -> jnp.ndarray:
+    """:func:`grid_sample_2d` (zeros padding, align_corners=False) with the
+    four bilinear corners PACKED into one row per cell, so the forward is a
+    single row gather and the backward a single row scatter-add per plane
+    (vs 4 each in :func:`grid_sample_2d_const_coords` — gathers/scatters on
+    TPU cost per index, so this is ~4x less index traffic; the 4x-wider
+    [H*W, 4C] table costs one cheap elementwise build per step).
+
+    Like const_coords, the coords cotangent is zero by construction. Pass a
+    precomputed ``quad_rows`` (from :func:`pack_quad_rows`) to share the
+    table build across heads; gradients flow through it to the plane.
+    """
+    C, H, W = plane.shape
+    if quad_rows is None:
+        quad_rows = pack_quad_rows(plane)
+    return _quad_sample(quad_rows, coords, (H, W))
 
 
 def grid_sample_3d(grid: jnp.ndarray, coords: jnp.ndarray,

@@ -83,26 +83,26 @@ def _cummax_2level(x: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(-1)[:n]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap",
-                     "dup_cap", "build_table"),
-)
-def bin_gaussians(
+def duplicate_instances(
     means2d: jnp.ndarray,   # [N, 2] pixel centers
     depths: jnp.ndarray,    # [N] view z
     radii: jnp.ndarray,     # [N] int32, 0 = culled
     tiles_x: int,
     tiles_y: int,
     tile_size: int,
-    tile_cap: int = 1024,
-    dup_cap: int | None = None,
-    build_table: bool = True,
-) -> BinningOut:
+    dup_cap: int,
+):
+    """Scatter-free gather-based duplication (steps 1-2 of the module
+    docstring): expand each visible Gaussian into one slot per overlapped
+    tile, in global depth order. Returns ``(tile, gauss_id, total, order)``
+    where ``tile[d]`` is the slot's tile id (``num_tiles`` sentinel for
+    unused slots), ``gauss_id[d]`` its source Gaussian (-1 pad), ``total``
+    the true instance count (may exceed dup_cap), and ``order`` the depth
+    argsort of all Gaussians. Shared by :func:`bin_gaussians` and the
+    ring-exchange path (parallel/ring.py), which re-bins blocks of
+    Gaussians against a fixed tile shard."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
-    if dup_cap is None:
-        dup_cap = 8 * n
 
     visible = radii > 0
     sort_key = jnp.where(visible, depths, jnp.inf)
@@ -147,6 +147,32 @@ def bin_gaussians(
     dup_valid = d < total
     tile = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)  # sentinel last
     gauss_id = jnp.where(dup_valid, dup_rows[:, 3], -1)
+    return tile, gauss_id, total, order
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tiles_y", "tile_size", "tile_cap",
+                     "dup_cap", "build_table"),
+)
+def bin_gaussians(
+    means2d: jnp.ndarray,   # [N, 2] pixel centers
+    depths: jnp.ndarray,    # [N] view z
+    radii: jnp.ndarray,     # [N] int32, 0 = culled
+    tiles_x: int,
+    tiles_y: int,
+    tile_size: int,
+    tile_cap: int = 1024,
+    dup_cap: int | None = None,
+    build_table: bool = True,
+) -> BinningOut:
+    n = means2d.shape[0]
+    num_tiles = tiles_x * tiles_y
+    if dup_cap is None:
+        dup_cap = 8 * n
+
+    tile, gauss_id, total, order = duplicate_instances(
+        means2d, depths, radii, tiles_x, tiles_y, tile_size, dup_cap)
 
     # --- stable sort by tile (depth order preserved within tile) ---
     sorted_tile, sorted_id = jax.lax.sort(

@@ -180,6 +180,7 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
                             n_frames: int, mesh: Mesh, sh_degree: int = 0,
                             enable_gaussian_opt: bool = True,
                             use_planes: bool = True,
+                            ring: bool = False,
                             batch_keys: tuple = (
                                 "viewmatrix", "projmatrix", "campos",
                                 "tanfovx", "tanfovy", "fid", "image",
@@ -229,32 +230,58 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
             else:
                 attrs_local = train_lib.static_attributes(sp, valid_local)
 
-            # full attribute set on every device (transpose: psum_scatter)
-            attrs = {
-                k: jax.lax.all_gather(v, "model", tiled=True)
-                for k, v in attrs_local.items()
-            }
-
-            outs = []
-            for v in range(views_per_shard):
-                cam = {k: batch[k][v] for k in
-                       ("viewmatrix", "projmatrix", "campos",
-                        "tanfovx", "tanfovy")}
-                outs.append(_sharded_render_view(
-                    attrs, cam, batch["bg"], width, height, sh_degree,
+            gather = lambda v: jax.lax.all_gather(v, "model", tiled=True)
+            cams = [{k: batch[k][v] for k in
+                     ("viewmatrix", "projmatrix", "campos",
+                      "tanfovx", "tanfovy")} for v in range(views_per_shard)]
+            if ring:
+                # blocks travel the ring; gather ONLY what active global
+                # regularizers read (parallel/ring.py docstring)
+                from splatfields_tpu.parallel.ring import ring_render_view
+                outs = [ring_render_view(
+                    attrs_local, cams[v], batch["bg"], width, height,
+                    sh_degree, pipe_cfg, n_model, net=net,
+                    variables=variables, screenspace_offset=offsets[v])
+                    for v in range(views_per_shard)]
+                need_means = (opt_cfg.lambda_norm > 0
+                              or opt_cfg.lambda_norm_mean > 0
+                              or opt_cfg.lambda_corr > 0
+                              or opt_cfg.lambda_corr_color > 0)
+                need_full = (opt_cfg.lambda_corr > 0
+                             or opt_cfg.lambda_corr_color > 0)
+                attrs = {}
+                if need_means:
+                    attrs["means3d"] = gather(attrs_local["means3d"])
+                if need_full:
+                    for k in ("scales", "rotations", "opacity", "rgb",
+                              "shs", "rgb_feat"):
+                        if k in attrs_local:
+                            attrs[k] = gather(attrs_local[k])
+                reg_valid = (gather(valid_local) if need_means
+                             else valid_local)
+                means3d_out = attrs_local["means3d"]
+            else:
+                # full attribute set on every device (transpose:
+                # psum_scatter)
+                attrs = {k: gather(v) for k, v in attrs_local.items()}
+                outs = [_sharded_render_view(
+                    attrs, cams[v], batch["bg"], width, height, sh_degree,
                     pipe_cfg, n_model, net=net, variables=variables,
-                    screenspace_offset=offsets[v]))
+                    screenspace_offset=offsets[v])
+                    for v in range(views_per_shard)]
+                reg_valid = attrs["valid"]
+                means3d_out = attrs["means3d"]
             loss, aux = train_lib.compute_losses(outs, batch, attrs,
-                                                 opt_cfg, attrs["valid"])
+                                                 opt_cfg, reg_valid)
             aux["bin_dropped"] = jnp.asarray(
                 sum(o.n_dropped for o in outs), jnp.float32)
             last = outs[-1]
             # every model shard computed the identical full loss; divide so
             # the summed cotangents reconstruct exactly one copy
-            return loss / n_model, (aux, last.radii, attrs["means3d"])
+            return loss / n_model, (aux, last.radii, means3d_out)
 
-        c_full = c_loc * n_model
-        offsets = jnp.zeros((views_per_shard, c_full, 2), jnp.float32)
+        c_off = c_loc if ring else c_loc * n_model
+        offsets = jnp.zeros((views_per_shard, c_off, 2), jnp.float32)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
                                      has_aux=True)
         fp0 = field_vars["params"] if field_mode else {}
@@ -268,7 +295,10 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
         g_sp = jax.lax.pmean(g_sp, "data")
         g_fp = jax.lax.psum(g_fp, "model")
         g_fp = jax.lax.pmean(g_fp, "data")
-        g_off = jax.lax.psum(g_off, "model")
+        if not ring:
+            # ring mode: ppermute's transpose already returned each
+            # offset gradient to its owning device
+            g_off = jax.lax.psum(g_off, "model")
 
         new_sp, new_sp_opt = splat_params, splat_opt
         if enable_gaussian_opt:
@@ -283,10 +313,14 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
         # densification stats on the LOCAL capacity chunk: last local view,
         # averaged over data shards (documented deviation); radii take the
         # pmax over data shards' last views
-        radii_local = jax.lax.dynamic_slice_in_dim(
-            radii_full, my_model * c_loc, c_loc, 0)
-        g_off_local = jax.lax.dynamic_slice_in_dim(
-            g_off[-1], my_model * c_loc, c_loc, 0)
+        if ring:
+            radii_local = radii_full          # already the local chunk
+            g_off_local = g_off[-1]
+        else:
+            radii_local = jax.lax.dynamic_slice_in_dim(
+                radii_full, my_model * c_loc, c_loc, 0)
+            g_off_local = jax.lax.dynamic_slice_in_dim(
+                g_off[-1], my_model * c_loc, c_loc, 0)
         radii_max = jax.lax.pmax(radii_local, "data")
         new_stats = splats_lib.update_max_radii(splat_stats, radii_max)
         norm = jnp.linalg.norm(g_off_local, axis=-1)
@@ -299,8 +333,9 @@ def make_sharded_train_step(net, opt_cfg, pipe_cfg, width, height,
             denom=new_stats.denom + add_denom,
         )
 
-        means3d_local = jax.lax.dynamic_slice_in_dim(
-            means3d_full, my_model * c_loc, c_loc, 0)
+        means3d_local = (means3d_full if ring
+                         else jax.lax.dynamic_slice_in_dim(
+                             means3d_full, my_model * c_loc, c_loc, 0))
         out = train_lib.StepOut(
             loss=loss, l1=aux["l1"], loss_dict=aux, radii=radii_local,
             screen_grad=g_off_local, means3d=means3d_local)

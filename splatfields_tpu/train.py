@@ -70,11 +70,14 @@ def build_view_batch(cams, num_views, bg, with_mask, with_depth):
 
 def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
              save_iterations, args=None, quiet=False,
-             progress_callback=None, resume=False, mesh=None):
+             progress_callback=None, resume=False, mesh=None, ring=False):
     """``mesh``: optional ('data', 'model') jax.sharding.Mesh — train with
     the sharded step (parallel/step.py) instead of the single-device one.
     Requires ``n_splats == -1`` (no subsampling) and ``num_views``
-    divisible by the data axis; capacity is rounded up to the model axis."""
+    divisible by the data axis; capacity is rounded up to the model axis.
+    ``ring``: exchange Gaussian blocks around the model ring instead of
+    all_gathering the full attribute set (parallel/ring.py — for N too
+    large to replicate)."""
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     is_static = model_cfg.is_static
@@ -154,7 +157,7 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 sstep = pstep.make_sharded_train_step(
                     deform.net if deform else None, opt_eff, pipe_cfg, w, h,
                     num_views // n_data, field_mode, n_frames, mesh, sh_deg,
-                    enable_gaussian_opt=enable_g_opt)
+                    enable_gaussian_opt=enable_g_opt, ring=ring)
 
                 def step(p, s, so, fv, fo, batch, lrs, flr, rng):
                     return (*sstep(p, s, so, fv, fo, batch, lrs, flr), rng)
@@ -434,6 +437,10 @@ def main(argv=None):
                              "mesh; 0 = single-device step (default)")
     parser.add_argument("--mesh_data", type=int, default=1,
                         help="data-axis size of the device mesh")
+    parser.add_argument("--ring", action="store_true",
+                        help="ring-exchange Gaussian blocks over the model "
+                             "axis instead of all_gathering attributes "
+                             "(for splat counts too large to replicate)")
     parser.add_argument("--coordinator_address", type=str, default="",
                         help="host:port of process 0 (multi-host pods)")
     parser.add_argument("--num_processes", type=int, default=1,
@@ -475,7 +482,8 @@ def main(argv=None):
     training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
              args.test_iterations, args.save_iterations, args=args,
              quiet=args.quiet, resume=args.resume,
-             progress_callback=progress_callback, mesh=mesh)
+             progress_callback=progress_callback, mesh=mesh,
+             ring=args.ring)
     print("\nTraining complete.")
 
 

@@ -238,6 +238,44 @@ class TestGridSample:
             gs_ops.grid_sample_2d_const_coords(plane, c)))(coords)
         assert float(jnp.abs(g_coords).max()) == 0.0
 
+    def test_quad_packed_path(self):
+        """Quad-packed (one gather / one scatter) variant must match
+        grid_sample_2d's forward AND plane gradient exactly, including the
+        edge reroutes (floor == -1 and floor == size-1) and fully
+        out-of-bounds points."""
+        rng = np.random.RandomState(7)
+        plane = jnp.asarray(rng.randn(4, 9, 7).astype(np.float32))
+        # dense coverage of edge cells plus random in/out-of-bounds points
+        edge = np.array([
+            [-1.0 + 1e-4, 0.0], [1.0 - 1e-4, 0.0], [0.0, -1.0 + 1e-4],
+            [0.0, 1.0 - 1e-4], [-1.05, -1.05], [1.05, 1.05],
+            [-0.999, 0.999], [-1.3, 0.2], [0.2, 1.3], [-1.0, -1.0],
+        ], np.float32)
+        coords = jnp.asarray(np.concatenate(
+            [edge, rng.rand(60, 2).astype(np.float32) * 2.4 - 1.2]))
+        n = coords.shape[0]
+        ref = gs_ops.grid_sample_2d(plane, coords)
+        fast = gs_ops.grid_sample_2d_quad(plane, coords)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=1e-5)
+        g = jnp.asarray(rng.rand(n, 4).astype(np.float32))
+        g_ref = jax.grad(
+            lambda p: jnp.sum(gs_ops.grid_sample_2d(p, coords) * g))(plane)
+        g_fast = jax.grad(lambda p: jnp.sum(
+            gs_ops.grid_sample_2d_quad(p, coords) * g))(plane)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   atol=1e-5)
+        g_coords = jax.grad(lambda c: jnp.sum(
+            gs_ops.grid_sample_2d_quad(plane, c)))(coords)
+        assert float(jnp.abs(g_coords).max()) == 0.0
+        # the explicit fold helper equals autodiff through pack_quad_rows
+        rows = gs_ops.pack_quad_rows(plane)
+        gq = jax.grad(lambda r: jnp.sum(
+            gs_ops._quad_sample(r, coords, (9, 7)) * g))(rows)
+        folded = gs_ops.quad_rows_grad_to_plane(gq, 9, 7)
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(g_ref),
+                                   atol=1e-5)
+
     @pytest.mark.parametrize("align", [False, True])
     def test_3d_matches_torch(self, align):
         rng = np.random.RandomState(3)

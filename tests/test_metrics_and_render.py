@@ -185,7 +185,8 @@ class TestShardedStep:
         return step(params, stats, splat_opt, fv, fo, b, lrs,
                     jnp.asarray(1e-3, jnp.float32), jax.random.PRNGKey(0))
 
-    def _run_sharded(self, setup, field_mode, sh_degree, n_dev, data):
+    def _run_sharded(self, setup, field_mode, sh_degree, n_dev, data,
+                     ring=False):
         import jax.numpy as jnp
         from splatfields_tpu.models import splats as splats_lib
         from splatfields_tpu.parallel.mesh import make_mesh
@@ -199,7 +200,7 @@ class TestShardedStep:
         step = make_sharded_train_step(
             net, opt_cfg, pipe_cfg, self.W, self.H,
             views_per_shard=self.V // data, field_mode=field_mode,
-            n_frames=0, mesh=mesh, sh_degree=sh_degree,
+            n_frames=0, mesh=mesh, sh_degree=sh_degree, ring=ring,
             batch_keys=tuple(batch.keys()))
         lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
         fv = self._clone(deform.variables if deform else {"params": {}})
@@ -262,6 +263,37 @@ class TestShardedStep:
         np.testing.assert_allclose(
             np.asarray(st1.xyz_gradient_accum),
             np.asarray(st8.xyz_gradient_accum), atol=1e-5)
+
+    def test_field_mode_ring_exchange_matches_single(self):
+        """ring=True: Gaussian blocks ppermute around the 'model' ring
+        against fixed tile shards (no full attribute all_gather). Loss,
+        updated params AND densification stats must still match the
+        single-device step exactly — including the screenspace-offset
+        gradient, which returns to its owner through the ppermute
+        transpose."""
+        setup = self._setup(field_mode=True)
+        sp1, st1, so1, fp1, fo1, out1, _ = self._run_single(setup, True, 0)
+        sp8, st8, so8, fp8, fo8, out8 = self._run_sharded(
+            setup, True, 0, n_dev=8, data=1, ring=True)
+        assert abs(float(out1.loss) - float(out8.loss)) < 1e-4
+        self._tree_close(fp1, fp8, 2e-5, "field params (ring)")
+        self._tree_close(sp1, sp8, 2e-5, "splat params (ring)")
+        np.testing.assert_allclose(
+            np.asarray(st1.xyz_gradient_accum),
+            np.asarray(st8.xyz_gradient_accum),
+            atol=1e-5, err_msg="densify accum (ring)")
+        np.testing.assert_allclose(
+            np.asarray(st1.max_radii2d), np.asarray(st8.max_radii2d),
+            atol=0.0)
+
+    def test_static_mode_ring_exchange_matches_single(self):
+        """ring=True on the static SH path (shs evaluated per block)."""
+        setup = self._setup(field_mode=False, sh_degree=1)
+        sp1, st1, so1, fp1, fo1, out1, _ = self._run_single(setup, False, 1)
+        sp8, st8, so8, fp8, fo8, out8 = self._run_sharded(
+            setup, False, 1, n_dev=8, data=1, ring=True)
+        assert abs(float(out1.loss) - float(out8.loss)) < 1e-4
+        self._tree_close(sp1, sp8, 2e-5, "splat params (ring static)")
 
     def test_dryrun_8_devices(self):
         import __graft_entry__ as ge
