@@ -95,12 +95,15 @@ class SplatFields(nn.Module):
     fuse_heads: bool = False
     # fully-fused Pallas head kernel (ops/fused_mlp.py): activations stay
     # in VMEM across the whole head stack instead of round-tripping HBM
-    # per layer. 'auto' currently means OFF: measured 44 ms fwd+bwd vs the
-    # flax path's ~8 ms at 100k splats on v5e (bench A/B 2026-08-17,
-    # scripts/profile_fused.py) — pipeline/layout pathology under
-    # investigation. 'on' forces it (interpret mode off-TPU, for tests).
+    # per layer. In ISOLATION it beats the flax path 2x (5.5 vs 11.1 ms
+    # fwd+bwd at 100k pts, blk 2048 fwd / 1024 bwd), but inside the full
+    # train step it REGRESSES the bench 52->89 ms: the custom-call
+    # boundary breaks XLA's fusion of the embedding/loss graph around the
+    # heads, and the forced materializations cost more than the kernel
+    # saves (bench A/B 2026-08-17). 'auto' therefore = OFF;
+    # SPLATFIELDS_FUSED_MLP=on forces it for experiments.
     fused_pallas: str = "auto"
-    fused_block: int = 1024
+    fused_block: int = 2048
     flow_w: int = 128
     flow_d: int = 6
     flow_skips: tuple = (3,)
@@ -342,7 +345,7 @@ class SplatFields(nn.Module):
             return False
         if mode == "on":
             return True
-        return False  # 'auto' = off pending the v5e perf fix (attr note)
+        return False  # 'auto' = off: step-level fusion-break regression
 
     def _call_fused(self, xyz_in: jnp.ndarray,
                     pts_feat: Optional[jnp.ndarray]) -> Dict[str, Any]:

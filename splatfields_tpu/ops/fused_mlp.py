@@ -217,11 +217,14 @@ def _bwd_kernel(plan: Plan, cdt, has_feat, emb_ref, feat_ref, w_ref, b_ref,
 
     for head, g_ref in zip(plan.heads, g_refs):
         h_in = _head_input(head, emb, feat)
-        # recompute forward, keeping each layer's INPUT
+        # recompute forward, keeping each layer's INPUT — stored in the
+        # compute dtype: the only consumers are the dW matmuls (which cast
+        # to cdt anyway) and the leaky_relu sign masks (sign-exact in
+        # bf16), so this halves the kernel's VMEM high-water mark
         inputs = []
         h = h_in
         for L in head.layers:
-            inputs.append(h)
+            inputs.append(h.astype(cdt))
             h = _layer_fwd(h, w_ref, b_ref, L, cdt)
             if L.skip_after:
                 h = jnp.concatenate([h_in, h], axis=1)
@@ -237,7 +240,8 @@ def _bwd_kernel(plan: Plan, cdt, has_feat, emb_ref, feat_ref, w_ref, b_ref,
                 out = nxt[:, h_in.shape[1]:] if L.skip_after else nxt
             else:
                 out = h
-            g = jnp.where(out >= 0, g, _ALPHA * g)
+            # sign mask in f32 — v5e Mosaic rejects bf16 vector compares
+            g = jnp.where(out.astype(jnp.float32) >= 0, g, _ALPHA * g)
             dw_ref[L.row_off:L.row_off + L.fin, :L.fout] += (
                 jax.lax.dot_general(
                     inp.astype(cdt), g.astype(cdt),
@@ -334,6 +338,10 @@ def _fused_vjp_bwd(plan, block, cdt, interpret, res, gs):
     emb, feat, w, b = res
     n = emb.shape[0]
     has_feat = plan.feat_dim > 0
+    # the backward holds every layer's recomputed input for the chunk, so
+    # its VMEM high-water mark is ~4x the forward's — halve the block
+    # (2048 fwd / 1024 bwd fits the 16 MB scope; 2048 bwd OOMs at 28.8 MB)
+    block = max(block // 2, 256)
     emb_p = _pad_n(emb, block)
     feat_p = _pad_n(feat, block) if has_feat else jnp.zeros(
         (emb_p.shape[0], 8), emb.dtype)
