@@ -111,79 +111,111 @@ def _chunk_alpha(attrs, px, py, t_carry_full, k: int, p: int):
 def _fwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
                 color_ref, depth_ref,
                 tfinal_ref, chunk_vmem, sem, *, tiles_x: int, tile_size: int,
-                k: int, tile_cap: int):
-    t = pl.program_id(0)
+                k: int, tile_cap: int, tpb: int):
     p = tile_size * tile_size
-    start = tile_start_ref[t]
-    count = jnp.minimum(counts_ref[t], tile_cap)
-    n_chunks = (count + k - 1) // k
     d_total = pack_hbm.shape[0]
 
-    # tile_ids maps the local grid step to a GLOBAL tile id so a sharded
-    # caller can blend a slice of the tile grid (parallel/step.py).
-    px, py = _pixel_coords(tile_ids_ref[t], tiles_x, tile_size, p)
+    # tpb tiles share one grid step: measured 4.2 ms of the 6.1 ms forward
+    # was pure per-grid-step overhead at one tile/step (2500 steps,
+    # scripts/profile_blend2.py) — batching tiles amortizes it.
+    for j in range(tpb):
+        t = pl.program_id(0) * tpb + j
+        start = tile_start_ref[t]
+        count = jnp.minimum(counts_ref[t], tile_cap)
+        n_chunks = (count + k - 1) // k
 
-    color_ref[0] = jnp.zeros((3, p), jnp.float32)
-    depth_ref[0] = jnp.zeros((1, p), jnp.float32)
+        # tile_ids maps the local grid step to a GLOBAL tile id so a
+        # sharded caller can blend a slice of the grid (parallel/step.py).
+        px, py = _pixel_coords(tile_ids_ref[t], tiles_x, tile_size, p)
 
-    # double-buffered chunk DMA: prefetch chunk c+1 into the other slot
-    # before waiting on chunk c, so HBM latency overlaps the blend math
-    # (the serial start/wait version spent ~half its wall time stalled).
-    def _copy(c, slot):
-        return pltpu.make_async_copy(
-            pack_hbm.at[pl.ds(start + c * k, k), :],
-            chunk_vmem.at[slot], sem.at[slot])
+        color_ref[j] = jnp.zeros((3, p), jnp.float32)
+        depth_ref[j] = jnp.zeros((1, p), jnp.float32)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        _copy(0, 0).start()
+        # double-buffered chunk DMA: prefetch chunk c+1 into the other
+        # slot before waiting on chunk c, so HBM latency overlaps the
+        # blend math (the serial version spent ~half its time stalled).
+        def _copy(c, slot, start=start):
+            return pltpu.make_async_copy(
+                pack_hbm.at[pl.ds(start + c * k, k), :],
+                chunk_vmem.at[slot], sem.at[slot])
 
-    def cond(state):
-        c, t_true, t_full = state
-        return (c < n_chunks) & (jnp.max(t_full) >= _T_EPS)
-
-    def body(state):
-        c, t_true, t_full = state
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(n_chunks > 0)
         def _():
-            _copy(c + 1, 1 - slot).start()
+            _copy(0, 0).start()
 
-        _copy(c, slot).wait()
-        attrs = chunk_vmem[slot]
-        # mask rows beyond the tile's count
-        row = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
-        in_count = (c * k + row) < count
-        attrs = jnp.where(
-            jnp.broadcast_to(in_count, attrs.shape), attrs, 0.0)
+        def cond(state):
+            c, t_true, t_full = state
+            return (c < n_chunks) & (jnp.max(t_full) >= _T_EPS)
 
-        alpha, s, t_excl = _chunk_alpha(attrs, px, py, t_full, k, p)
-        live = s >= _T_EPS
-        w = alpha * t_excl * live.astype(jnp.float32)   # [K, P]
+        def body(state, count=count, n_chunks=n_chunks, px=px, py=py,
+                 _copy=_copy, j=j):
+            c, t_true, t_full = state
+            slot = jax.lax.rem(c, 2)
 
-        rgbT = attrs[:, 6:9]                             # [K, 3]
-        color_ref[0] += jax.lax.dot_general(
-            rgbT, w, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [3, P]
-        depth_ref[0] += jnp.sum(w * attrs[:, 9:10], axis=0, keepdims=True)
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                _copy(c + 1, 1 - slot).start()
 
-        t_cand = jnp.where(live, s, jnp.broadcast_to(t_true, s.shape))
-        t_true = jnp.minimum(jnp.min(t_cand, axis=0, keepdims=True), t_true)
-        t_full = s[-1:, :]
-        return c + 1, t_true, t_full
+            _copy(c, slot).wait()
+            attrs = chunk_vmem[slot]
+            # mask rows beyond the tile's count
+            row = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+            in_count = (c * k + row) < count
+            attrs = jnp.where(
+                jnp.broadcast_to(in_count, attrs.shape), attrs, 0.0)
 
-    ones = jnp.ones((1, p), jnp.float32)
-    c_exit, t_true, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), ones, ones))
-    tfinal_ref[0] = t_true
+            alpha, s, t_excl = _chunk_alpha(attrs, px, py, t_full, k, p)
+            live = s >= _T_EPS
+            w = alpha * t_excl * live.astype(jnp.float32)   # [K, P]
 
-    # early exit leaves exactly one outstanding prefetch (chunk c_exit,
-    # started by body c_exit-1); drain it so the semaphore is clean for
-    # the next grid step
-    @pl.when(c_exit < n_chunks)
-    def _():
-        _copy(c_exit, jax.lax.rem(c_exit, 2)).wait()
+            rgbT = attrs[:, 6:9]                             # [K, 3]
+            color_ref[j] += jax.lax.dot_general(
+                rgbT, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [3, P]
+            depth_ref[j] += jnp.sum(w * attrs[:, 9:10], axis=0,
+                                    keepdims=True)
+
+            t_cand = jnp.where(live, s,
+                               jnp.broadcast_to(t_true, s.shape))
+            t_true = jnp.minimum(jnp.min(t_cand, axis=0, keepdims=True),
+                                 t_true)
+            t_full = s[-1:, :]
+            return c + 1, t_true, t_full
+
+        ones = jnp.ones((1, p), jnp.float32)
+        c_exit, t_true, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), ones, ones))
+        tfinal_ref[j] = t_true
+
+        # early exit leaves exactly one outstanding prefetch (chunk
+        # c_exit, started by body c_exit-1); drain it so the semaphore is
+        # clean for the next tile
+        @pl.when(c_exit < n_chunks)
+        def _():
+            _copy(c_exit, jax.lax.rem(c_exit, 2)).wait()
+
+
+def _pick_tpb(num_tiles: int) -> int:
+    for tpb in (8, 4, 2):
+        if num_tiles % tpb == 0:
+            return tpb
+    return 1
+
+
+def _pad_tiles(tile_start, counts, tile_ids, num_tiles, tpb):
+    """Pad the per-tile arrays to a tpb multiple (padding tiles blend
+    nothing; their output rows are sliced off)."""
+    t_pad = -(-num_tiles // tpb) * tpb
+    if t_pad == num_tiles:
+        return tile_start[:num_tiles], counts, tile_ids, num_tiles
+    extra = t_pad - num_tiles
+    tile_start = jnp.concatenate(
+        [tile_start[:num_tiles],
+         jnp.broadcast_to(tile_start[num_tiles - 1:num_tiles], (extra,))])
+    counts = jnp.concatenate([counts, jnp.zeros(extra, counts.dtype)])
+    tile_ids = jnp.concatenate(
+        [tile_ids, jnp.broadcast_to(tile_ids[-1:], (extra,))])
+    return tile_start, counts, tile_ids, t_pad
 
 
 @functools.partial(
@@ -196,6 +228,9 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids, tiles_x,
     num_tiles = counts.shape[0]
     p = tile_size * tile_size
     k = k_chunk
+    tpb = _pick_tpb(num_tiles)
+    tile_start, counts_p, tile_ids, t_pad = _pad_tiles(
+        tile_start, counts, tile_ids, num_tiles, tpb)
     # pad by one chunk (DMA overrun) and to _AP lanes (DMA alignment)
     sorted_pack = jnp.concatenate(
         [sorted_pack, jnp.zeros((k, sorted_pack.shape[1]),
@@ -204,14 +239,14 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids, tiles_x,
                           ((0, 0), (0, _AP - sorted_pack.shape[1])))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(t_pad // tpb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 3, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -221,18 +256,19 @@ def _blend_fwd_pallas(sorted_pack, tile_start, counts, tile_ids, tiles_x,
     )
     kernel = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, tile_size=tile_size, k=k,
-        tile_cap=tile_cap)
+        tile_cap=tile_cap, tpb=tpb)
     color, depth, tfinal = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
         ),
         interpret=interpret,
-    )(tile_start[:num_tiles], counts, tile_ids, sorted_pack)
-    return color, depth[:, 0], tfinal[:, 0]
+    )(tile_start, counts_p, tile_ids, sorted_pack)
+    return (color[:num_tiles], depth[:num_tiles, 0],
+            tfinal[:num_tiles, 0])
 
 
 def _bwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
@@ -240,7 +276,8 @@ def _bwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
                 g_depth_ref, g_tfinal_ref, tfinal_ref, color_ref,
                 depth_out_ref, grad_init_hbm,
                 grad_hbm, chunk_vmem, grad_vmem, sem_in, sem_out, *,
-                tiles_x: int, tile_size: int, k: int, tile_cap: int):
+                tiles_x: int, tile_size: int, k: int, tile_cap: int,
+                tpb: int):
     """Backward per tile: front-to-back replay with suffix accumulators.
 
     For pixel p: C = sum_i w_i c_i, D = sum_i w_i z_i, Tf = frozen T.
@@ -252,22 +289,36 @@ def _bwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
     tot_c = sum_i w_i (c_i . gC) = C_out . gC and tot_d = D_out * gD — so
     the backward is a single front-to-back replay (no totals pre-pass).
     """
-    t = pl.program_id(0)
+    p = tile_size * tile_size
+    d_total = pack_hbm.shape[0]
+    for j in range(tpb):
+        _bwd_one_tile(j, tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
+                      g_color_ref, g_depth_ref, g_tfinal_ref, tfinal_ref,
+                      color_ref, depth_out_ref, grad_hbm, chunk_vmem,
+                      grad_vmem, sem_in, sem_out, tiles_x=tiles_x,
+                      tile_size=tile_size, k=k, tile_cap=tile_cap, tpb=tpb)
+
+
+def _bwd_one_tile(j, tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
+                  g_color_ref, g_depth_ref, g_tfinal_ref, tfinal_ref,
+                  color_ref, depth_out_ref, grad_hbm, chunk_vmem, grad_vmem,
+                  sem_in, sem_out, *, tiles_x: int, tile_size: int, k: int,
+                  tile_cap: int, tpb: int):
+    t = pl.program_id(0) * tpb + j
     p = tile_size * tile_size
     start = tile_start_ref[t]
     count = jnp.minimum(counts_ref[t], tile_cap)
     n_chunks = (count + k - 1) // k
-    d_total = pack_hbm.shape[0]
 
     px, py = _pixel_coords(tile_ids_ref[t], tiles_x, tile_size, p)
-    gC = g_color_ref[0]       # [3, P]
-    gD = g_depth_ref[0]       # [1, P]
-    gT = g_tfinal_ref[0]      # [1, P]
-    t_fin = tfinal_ref[0]     # [1, P]
+    gC = g_color_ref[j]       # [3, P]
+    gD = g_depth_ref[j]       # [1, P]
+    gT = g_tfinal_ref[j]      # [1, P]
+    t_fin = tfinal_ref[j]     # [1, P]
 
     # closed-form totals from the saved forward outputs
-    tot_c = jnp.sum(color_ref[0] * gC, axis=0, keepdims=True)  # [1, P]
-    tot_d = depth_out_ref[0] * gD                               # [1, P]
+    tot_c = jnp.sum(color_ref[j] * gC, axis=0, keepdims=True)  # [1, P]
+    tot_d = depth_out_ref[j] * gD                               # [1, P]
 
     def total_cond(state):
         c, t_full, *_ = state
@@ -396,6 +447,9 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, tile_ids, g_color,
     num_tiles = counts.shape[0]
     p = tile_size * tile_size
     k = k_chunk
+    tpb = _pick_tpb(num_tiles)
+    tile_start, counts_p, tile_ids, t_pad = _pad_tiles(
+        tile_start, counts, tile_ids, num_tiles, tpb)
     d_real = sorted_pack.shape[0]
     sorted_pack = jnp.concatenate(
         [sorted_pack, jnp.zeros((k, sorted_pack.shape[1]),
@@ -404,22 +458,29 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, tile_ids, g_color,
                           ((0, 0), (0, _AP - sorted_pack.shape[1])))
     d_total = sorted_pack.shape[0]
     grad_init = jnp.zeros((d_total, _AP), jnp.float32)
+
+    def _tile_arr(x, ch):
+        x = x.reshape(num_tiles, ch, p)
+        if t_pad == num_tiles:
+            return x
+        return jnp.pad(x, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(t_pad // tpb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),       # pack (HBM)
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 3, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 3, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # fwd color
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((tpb, 1, p), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),      # fwd depth
             pl.BlockSpec(memory_space=pltpu.ANY),       # grad init (alias)
         ],
@@ -433,7 +494,7 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, tile_ids, g_color,
     )
     kernel = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, tile_size=tile_size, k=k,
-        tile_cap=tile_cap)
+        tile_cap=tile_cap, tpb=tpb)
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -441,13 +502,13 @@ def _blend_bwd_pallas(sorted_pack, tile_start, counts, tile_ids, g_color,
         input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(tile_start[:num_tiles], counts, tile_ids, sorted_pack,
-      g_color.reshape(num_tiles, 3, p),
-      g_depth.reshape(num_tiles, 1, p),
-      g_tfinal.reshape(num_tiles, 1, p),
-      tfinal.reshape(num_tiles, 1, p),
-      color.reshape(num_tiles, 3, p),
-      depth_out.reshape(num_tiles, 1, p),
+    )(tile_start, counts_p, tile_ids, sorted_pack,
+      _tile_arr(g_color, 3),
+      _tile_arr(g_depth, 1),
+      _tile_arr(g_tfinal, 1),
+      _tile_arr(tfinal, 1),
+      _tile_arr(color, 3),
+      _tile_arr(depth_out, 1),
       grad_init)
     return grads[:d_real, :_A]
 
