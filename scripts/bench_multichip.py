@@ -29,7 +29,7 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def run(n_devices, data_axis):
+def run(n_devices, data_axis, ring=False):
     import math
 
     import jax
@@ -94,7 +94,7 @@ def run(n_devices, data_axis):
     step = make_sharded_train_step(
         deform.net, opt_cfg, pipe_cfg, width, height,
         views_per_shard=views // data_axis, field_mode=True, n_frames=0,
-        mesh=mesh)
+        mesh=mesh, ring=ring)
     sp, st, so = shard_train_state(params, stats, splat_opt, mesh)
     fv = replicate(deform.variables, mesh)
     fo = replicate(deform.opt_state, mesh)
@@ -112,7 +112,8 @@ def run(n_devices, data_axis):
     jax.block_until_ready(out.loss)
     dt = (time.perf_counter() - t0) / iters
     rays = width * height * views / dt
-    line = (f"mesh data={data_axis} x model={n_devices // data_axis}: "
+    tag = " ring" if ring else ""
+    line = (f"mesh data={data_axis} x model={n_devices // data_axis}{tag}: "
             f"{dt * 1000:.2f} ms/step, {rays:.0f} rays/s, "
             f"loss={float(out.loss):.4f}")
     print(line, flush=True)
@@ -121,7 +122,8 @@ def run(n_devices, data_axis):
 
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
-        lines = [run(1, 1), run(2, 1), run(4, 1), run(8, 1), run(8, 2)]
+        lines = [run(1, 1), run(2, 1), run(4, 1), run(8, 1), run(8, 2),
+                 run(8, 1, ring=True)]
         print("\n".join(lines))
         return
     args = [int(a) for a in sys.argv[1:]]

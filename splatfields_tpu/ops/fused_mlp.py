@@ -137,20 +137,21 @@ def plan_from_module(net, mode: str) -> Plan:
 
 def pack_params(params: dict, plan: Plan, dtype=jnp.float32):
     """Pack per-head {net_i: {weight [in,out], bias [out]}} trees into one
-    [R, 128] weight matrix + [L, 128] bias matrix (row offsets per plan)."""
-    w = jnp.zeros((plan.n_rows, 128), dtype)
-    b = jnp.zeros((plan.n_bias, 128), jnp.float32)
+    [R, 128] weight matrix + [L, 128] bias matrix (row offsets per plan).
+
+    Built as ONE concatenate (layer blocks are consecutive by
+    construction) — a dynamic_update_slice per layer costs one kernel
+    dispatch each on the TPU runtime, ~60 per step."""
+    w_parts, b_parts = [], []
     for head in plan.heads:
         tree = params[head.name]
         for i, L in enumerate(head.layers):
             wi = tree[f"net_{i}"]["weight"].astype(dtype)
             bi = tree[f"net_{i}"]["bias"].astype(jnp.float32)
-            w = jax.lax.dynamic_update_slice(
-                w, jnp.pad(wi, ((0, _round8(L.fin) - L.fin),
-                                (0, 128 - L.fout))), (L.row_off, 0))
-            b = jax.lax.dynamic_update_slice(
-                b, jnp.pad(bi, (0, 128 - L.fout))[None], (L.bias_idx, 0))
-    return w, b
+            w_parts.append(jnp.pad(wi, ((0, _round8(L.fin) - L.fin),
+                                        (0, 128 - L.fout))))
+            b_parts.append(jnp.pad(bi, (0, 128 - L.fout))[None])
+    return jnp.concatenate(w_parts, 0), jnp.concatenate(b_parts, 0)
 
 
 def unpack_grads(dw: jnp.ndarray, db: jnp.ndarray, plan: Plan) -> dict:
