@@ -19,3 +19,14 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # honor an explicit CPU request even where a sitecustomize force-sets
+    # the TPU backend programmatically (the env var alone is overridden
+    # there — see CLAUDE.md); used by CI subprocesses and the protocol
+    # script smoke tests
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
