@@ -65,8 +65,12 @@ def render_set(model_path, name, iteration, views, params, stats, deform,
             import imageio.v2 as imageio
             imageio.mimwrite(os.path.join(base, "video.mp4"),
                              frames, fps=20, quality=8)
-        except Exception as e:  # ffmpeg may be absent
-            print(f"video export skipped: {e}")
+        except Exception as e:  # no ffmpeg backend: animated GIF fallback
+            import PIL.Image
+            ims = [PIL.Image.fromarray(f) for f in frames]
+            ims[0].save(os.path.join(base, "video.gif"), save_all=True,
+                        append_images=ims[1:], duration=50, loop=0)
+            print(f"mp4 export unavailable ({e}); wrote video.gif")
 
     if any(v.image is not None for v in views):
         return metrics.eval_all(base, lpips_weights_path=lpips_weights)

@@ -245,7 +245,13 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
         times.append(time.time() - t0)
 
         if iteration > 1500 and opt_cfg.overwrite_loc and field_mode:
-            # copy field means back into _xyz (reference train.py:153-155)
+            # copy field means back into _xyz (reference train.py:153-155).
+            # DOCUMENTED DECISION: with --n_splats subsampling active the
+            # step only predicts means for the sampled subset, so the copy
+            # is skipped for that iteration (shape guard below). The
+            # reference CRASHES in this combination (its _xyz.copy_ of a
+            # subset tensor raises a size mismatch), so skipping is the
+            # only behavior any working run can observe.
             import dataclasses as dc
             if out.means3d.shape[0] == params.xyz.shape[0]:
                 # keep the capacity-axis sharding when training on a mesh

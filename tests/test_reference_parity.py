@@ -179,8 +179,13 @@ def _import_ref_time_utils():
         mod = types.ModuleType(name)
         for k, v in attrs.items():
             setattr(mod, k, v)
-        # auto-create dummy torch Module subclasses for anything else
+        # auto-create dummy torch Module subclasses for anything else —
+        # but NEVER for dunder lookups (__file__, __path__, ...): tools
+        # like inspect.getmodule probe those on every sys.modules entry,
+        # and a fake class there breaks unrelated tests in-process
         def _getattr(key, _m=mod):
+            if key.startswith("__") and key.endswith("__"):
+                raise AttributeError(key)
             cls = type(key, (tnn.Module,), {})
             setattr(_m, key, cls)
             return cls

@@ -274,6 +274,10 @@ class TestResumeAndRender:
         out = os.path.join(mp, "test/ours_15")
         assert os.path.exists(os.path.join(out, "results.yaml"))
         assert os.path.exists(os.path.join(out, "renders/00000.png"))
+        # video artifact: mp4 when an ffmpeg backend exists, else the
+        # animated-GIF fallback — one of them must always be written
+        assert (os.path.exists(os.path.join(out, "video.mp4"))
+                or os.path.exists(os.path.join(out, "video.gif")))
 
     def test_extract_geo_cli(self, blender_scene, tmp_path):
         from splatfields_tpu.train import training
