@@ -168,20 +168,26 @@ def _quad_idx_w(coords, H, W):
     return iyc * W + ixc, w4
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _quad_sample(quad_rows, coords, hw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _quad_sample(quad_rows, coords, hw, gather_dtype=None):
+    """``gather_dtype`` (e.g. bf16) rounds the table INSIDE the primal, so
+    only forward feature values are rounded — the primal/cotangent stay
+    f32 and the plane gradient is exact (the gather traffic halves)."""
     H, W = hw
     n, C = coords.shape[0], quad_rows.shape[1] // 4
     idx, w4 = _quad_idx_w(coords, H, W)
-    rows = quad_rows[idx]  # ONE gather [N, 4C]
+    src = (quad_rows if gather_dtype is None
+           else quad_rows.astype(gather_dtype))
+    rows = src[idx].astype(jnp.float32)  # ONE gather [N, 4C]
     return jnp.sum(rows.reshape(n, 4, C) * w4[:, :, None], axis=1)
 
 
-def _quad_fwd(quad_rows, coords, hw):
-    return _quad_sample(quad_rows, coords, hw), (quad_rows.shape, coords)
+def _quad_fwd(quad_rows, coords, hw, gather_dtype=None):
+    return (_quad_sample(quad_rows, coords, hw, gather_dtype),
+            (quad_rows.shape, coords))
 
 
-def _quad_bwd(hw, res, g):
+def _quad_bwd(hw, gather_dtype, res, g):
     (n_rows, C4), coords = res
     H, W = hw
     n, C = coords.shape[0], C4 // 4
