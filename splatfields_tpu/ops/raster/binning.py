@@ -1,23 +1,24 @@
-"""Tile binning: depth sort + duplicated-key sort, scatter-free (pure JAX).
+"""Tile binning: one duplicated-instance sort, scatter-free (pure JAX).
 
 TPU-first replacement for the CUDA rasterizer's duplicate-and-radix-sort
 binning (upstream ``ingra14m/depth-diff-gaussian-rasterization``; in-repo
 contract documented at SURVEY 2.9). XLA scatters serialize badly on TPU, so
 the construction below uses only sorts, binary searches and gathers:
 
-1. argsort all Gaussians once by view depth (culled -> +inf). Restricting a
-   global depth order to any tile yields that tile's front-to-back order —
-   exactly what the CUDA per-tile (tile | depth) radix sort produces (both
-   break ties by Gaussian id: radix sort is stable over the id-ordered
-   duplication).
-2. gather-based duplication: with per-Gaussian tile-span counts and their
-   exclusive cumsum, duplicate slot d maps to Gaussian
-   g = searchsorted(cumsum, d) and to the (rank % span_x, rank / span_x)
-   tile of its rect — pure vectorized binary search + arithmetic, no
-   scatter. A static budget ``dup_cap`` bounds the instance array; overflow
-   drops the deepest Gaussians (count reported).
-3. one stable sort of the [dup_cap] tile keys (payload: Gaussian id).
-4. the dense [num_tiles, tile_cap] gather table is built by another binary
+1. gather-based duplication in ORIGINAL Gaussian-id order: with
+   per-Gaussian tile-span counts and their exclusive cumsum, duplicate
+   slot d maps to Gaussian g (prefix-max trick below) and to the
+   (rank % span_x, rank / span_x) tile of its rect — pure vectorized
+   arithmetic, no scatter. A static budget ``dup_cap`` bounds the
+   instance array; overflow drops the highest-id Gaussians' spillover
+   (count reported).
+2. ONE sort of the slots by (tile, depth, Gaussian id). This is exactly
+   the order the CUDA per-tile (tile | depth-bits) radix sort produces:
+   its stability over the id-ordered duplication means equal depths tie
+   by id — lexicographic (tile, depth, id). (An earlier pipeline depth-
+   argsorted the N Gaussians first and tile-sorted stably; folding depth
+   into the slot sort removes the argsort and two N-row gathers.)
+3. the dense [num_tiles, tile_cap] gather table is built by a binary
    search (per-tile range starts) + one gather — again scatter-free.
 
 Per-tile overflow beyond ``tile_cap`` is dropped: front-to-back compositing
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 class BinningOut(NamedTuple):
     idx: jnp.ndarray      # [num_tiles, cap] int32 gaussian ids, -1 = empty
     counts: jnp.ndarray   # [num_tiles] int32 hits placed in the table
-    order: jnp.ndarray    # [N] depth-sorted gaussian ids
+    depth: jnp.ndarray    # [dup_cap] per-slot view depth (+inf pad)
     n_dropped: jnp.ndarray  # scalar: duplicates beyond dup_cap
     sorted_id: jnp.ndarray  # [dup_cap] gaussian id per sorted instance (-1 pad)
     tile_start: jnp.ndarray  # [num_tiles + 1] instance ranges per tile
@@ -92,40 +93,41 @@ def duplicate_instances(
     tile_size: int,
     dup_cap: int,
 ):
-    """Scatter-free gather-based duplication (steps 1-2 of the module
+    """Scatter-free gather-based duplication (step 2 of the module
     docstring): expand each visible Gaussian into one slot per overlapped
-    tile, in global depth order. Returns ``(tile, gauss_id, total, order,
-    depth_rank)`` where ``tile[d]`` is the slot's tile id (``num_tiles``
-    sentinel for unused slots), ``gauss_id[d]`` its source Gaussian (-1
-    pad), ``total`` the true instance count (may exceed dup_cap),
-    ``order`` the depth argsort of all Gaussians, and ``depth_rank[d]``
-    the slot's Gaussian's position in that argsort (the within-tile sort
-    key). Shared by :func:`bin_gaussians` and the
-    ring-exchange path (parallel/ring.py), which re-bins blocks of
-    Gaussians against a fixed tile shard."""
+    tile, enumerated in ORIGINAL id order (no depth argsort — callers
+    sort slots by ``(tile, depth, id)``, which reproduces the CUDA order
+    exactly: its stable radix tile-sort of depth-ordered slots ties equal
+    depths by id, i.e. lexicographic (tile, depth, id)).
+
+    Returns ``(tile, gauss_id, total, depth)`` per slot: tile id
+    (``num_tiles`` sentinel for unused slots), source Gaussian (-1 pad),
+    true instance count (may exceed dup_cap), and the slot's view depth
+    (+inf pad). Shared by :func:`bin_gaussians` and the ring-exchange
+    path (parallel/ring.py), which re-bins blocks of Gaussians against a
+    fixed tile shard."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
 
     visible = radii > 0
-    sort_key = jnp.where(visible, depths, jnp.inf)
-    order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)  # [N]
-
     xmin, ymin, xmax, ymax = tile_rects(means2d, radii, tiles_x, tiles_y,
                                         tile_size)
     span_x_u = jnp.maximum(xmax - xmin, 0)
     span_y_u = jnp.maximum(ymax - ymin, 0)
-    counts_u = jnp.where(visible, span_x_u * span_y_u, 0)
+    counts_per_g = jnp.where(visible, span_x_u * span_y_u, 0)
+    ends = jnp.cumsum(counts_per_g)     # inclusive cumsum
+    total = ends[-1]
+    starts = ends - counts_per_g
+
     # pack the per-gaussian duplication data into ONE row matrix so every
     # later lookup is a single row gather (TPU gathers fetch a whole
     # (8,128) tile per index — per-attribute gathers are ~5x the traffic)
     own_id = jnp.arange(n, dtype=jnp.int32)
     row_data = jnp.stack(
-        [xmin, ymin, jnp.maximum(span_x_u, 1), own_id, counts_u], axis=1)
-    s_rows = row_data[order]            # depth-sorted [N, 5]
-    counts_per_g = jnp.where(visible[order], s_rows[:, 4], 0)
-    ends = jnp.cumsum(counts_per_g)     # inclusive cumsum
-    total = ends[-1]
-    starts = ends - counts_per_g
+        [xmin.astype(jnp.float32), ymin.astype(jnp.float32),
+         jnp.maximum(span_x_u, 1).astype(jnp.float32),
+         own_id.astype(jnp.float32), starts.astype(jnp.float32),
+         depths], axis=1)
 
     # --- gather-based duplication ---
     d = jnp.arange(dup_cap, dtype=jnp.int32)
@@ -140,16 +142,16 @@ def duplicate_instances(
     ].max(own_id + 1, mode="drop")
     g = _cummax_2level(marks) - 1
     g = jnp.clip(g, 0, n - 1)
-    s_rows6 = jnp.concatenate([s_rows, starts[:, None]], axis=1)
-    dup_rows = s_rows6[g]               # ONE row gather [dup_cap, 6]
-    rank = d - dup_rows[:, 5]
-    sx = dup_rows[:, 2]
-    tx = dup_rows[:, 0] + rank % sx
-    ty = dup_rows[:, 1] + rank // sx
+    dup_rows = row_data[g]              # ONE row gather [dup_cap, 6]
+    rank = d - dup_rows[:, 4].astype(jnp.int32)
+    sx = dup_rows[:, 2].astype(jnp.int32)
+    tx = dup_rows[:, 0].astype(jnp.int32) + rank % sx
+    ty = dup_rows[:, 1].astype(jnp.int32) + rank // sx
     dup_valid = d < total
     tile = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)  # sentinel last
-    gauss_id = jnp.where(dup_valid, dup_rows[:, 3], -1)
-    return tile, gauss_id, total, order, g
+    gauss_id = jnp.where(dup_valid, dup_rows[:, 3].astype(jnp.int32), -1)
+    depth = jnp.where(dup_valid, dup_rows[:, 5], jnp.inf)
+    return tile, gauss_id, total, depth
 
 
 @functools.partial(
@@ -173,16 +175,20 @@ def bin_gaussians(
     if dup_cap is None:
         dup_cap = 8 * n
 
-    tile, gauss_id, total, order, _rank = duplicate_instances(
+    tile, gauss_id, total, depth = duplicate_instances(
         means2d, depths, radii, tiles_x, tiles_y, tile_size, dup_cap)
 
-    # --- stable sort by tile (depth order preserved within tile) ---
-    # Measured on v5e: this 2-operand stable sort beats a single packed
-    # (tile << bits | depth_rank) key sort (6.4 vs 9.2 ms at 500k slots) —
-    # XLA's stable TPU sort is not payload-bound, so key packing only
-    # added shifts + an extra id gather.
-    sorted_tile, sorted_id = jax.lax.sort(
-        (tile, gauss_id), num_keys=1, is_stable=True)
+    # --- ONE sort by (tile, depth, id) ---
+    # Replaces the previous depth-argsort-then-stable-tile-sort pipeline:
+    # the lexicographic order is identical (CUDA's stable radix tile sort
+    # of depth-ordered slots ties equal depths by id), and the N-point
+    # argsort + its row gathers disappear. gauss_id rides as the third
+    # KEY (it IS the tie-break), so no payload operand is needed; -1 pads
+    # map to int32 max so they stay last within the sentinel tile.
+    gid_key = jnp.where(gauss_id >= 0, gauss_id, jnp.iinfo(jnp.int32).max)
+    sorted_tile, _, sorted_gid = jax.lax.sort(
+        (tile, depth, gid_key), num_keys=3)
+    sorted_id = jnp.where(sorted_tile < num_tiles, sorted_gid, -1)
 
     # --- per-tile ranges + gather table ---
     tile_start = jnp.searchsorted(
@@ -202,6 +208,6 @@ def bin_gaussians(
         idx = jnp.zeros((0, 0), jnp.int32)
 
     n_dropped = jnp.maximum(total - dup_cap, 0)
-    return BinningOut(idx=idx, counts=tile_count, order=order,
+    return BinningOut(idx=idx, counts=tile_count, depth=depth,
                       n_dropped=n_dropped, sorted_id=sorted_id,
                       tile_start=tile_start)

@@ -118,7 +118,7 @@ def ring_render_view(attrs_local, cam, bg, width, height, sh_degree, pipe,
         if s == 0:
             radii_local = pre.radii  # my own block's screen radii
 
-        tile, gid, total, _, _rank = duplicate_instances(
+        tile, gid, total, _depth = duplicate_instances(
             jax.lax.stop_gradient(means2d),
             jax.lax.stop_gradient(pre.depths),
             pre.radii, tiles_x, tiles_y, tile_size, pre_cap)
