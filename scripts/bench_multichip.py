@@ -101,15 +101,18 @@ def run(n_devices, data_axis, ring=False):
     flr = jnp.asarray(1e-3, jnp.float32)
 
     sp, st, so, fp, fo, out = step(sp, st, so, fv, fo, batch, lrs, flr)
-    jax.block_until_ready(out.loss)
+    _ = float(out.loss)  # materialize (block_until_ready is unreliable
+    #                      on the axon TPU backend — CLAUDE.md pitfall 2)
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        # vary the batch so no relay/execution cache can short-circuit
-        batch["image"] = batch["image"] + np.float32(i) * 1e-12
+        # vary the batch so no relay/execution cache can short-circuit:
+        # multiplicative and well above float32 ulp so the bits change
+        # (an additive 1e-12 was a no-op — advisor r2 finding 4)
+        batch["image"] = batch["image"] * np.float32(1.0 + (i + 1) * 1e-4)
         fv = dict(fv, params=fp)
         sp, st, so, fp, fo, out = step(sp, st, so, fv, fo, batch, lrs, flr)
-    jax.block_until_ready(out.loss)
+    _ = float(out.loss)
     dt = (time.perf_counter() - t0) / iters
     rays = width * height * views / dt
     tag = " ring" if ring else ""

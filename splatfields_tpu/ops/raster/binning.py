@@ -108,6 +108,15 @@ def duplicate_instances(
     fixed tile shard."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
+    # ids/starts ride in a float32 row matrix below (one-gather packing);
+    # float32 is integer-exact only to 2^24, so those fields silently
+    # corrupt beyond that (advisor r2 finding 1). All current configs are
+    # ~20x under the limit; large-N ring shards bin per-block (c_loc).
+    if n >= (1 << 24) or dup_cap > (1 << 24):
+        raise ValueError(
+            f"binning packs ids/offsets as float32 (exact to 2^24): "
+            f"n={n}, dup_cap={dup_cap} exceed it — shard the splats "
+            f"(parallel/ring.py) or switch row_data to int32 fields")
 
     visible = radii > 0
     xmin, ymin, xmax, ymax = tile_rects(means2d, radii, tiles_x, tiles_y,

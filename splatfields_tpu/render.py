@@ -41,10 +41,18 @@ def render_set(model_path, name, iteration, views, params, stats, deform,
 
     import cv2
     frames = []
+    dropped_views = 0
     for idx, view in enumerate(views):
         out = render_camera(view, params, stats, deform, pipe_cfg, bg,
                             field_mode=field_mode, n_frames=n_frames,
                             sh_degree=sh_degree)
+        if int(out["n_dropped"]) > 0:
+            dropped_views += 1
+            if dropped_views <= 3:
+                print(f"[render] warning: view {idx} dropped "
+                      f"{int(out['n_dropped'])} instances beyond the "
+                      f"dup budget (dup_factor={pipe_cfg.dup_factor}); "
+                      f"increase --dup_factor to render all splats")
         img = _to_png(out["render"])
         cv2.imwrite(os.path.join(render_path, f"{idx:05d}.png"),
                     img[..., ::-1])

@@ -14,10 +14,12 @@ from splatfields_tpu.ops.raster.api import rasterize
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "field_mode",
-                     "n_frames", "tile_size", "tile_cap", "k_chunk", "net"))
+                     "n_frames", "tile_size", "tile_cap", "k_chunk",
+                     "dup_factor", "net"))
 def _render_jit(params, valid, field_vars, viewmatrix, projmatrix, campos,
                 tanfovx, tanfovy, bg, fid, *, net, width, height, sh_degree,
-                field_mode, n_frames, tile_size, tile_cap, k_chunk):
+                field_mode, n_frames, tile_size, tile_cap, k_chunk,
+                dup_factor):
     if field_mode:
         xyz = params.xyz
         scaling = splats_lib.get_scaling(params)
@@ -39,7 +41,11 @@ def _render_jit(params, valid, field_vars, viewmatrix, projmatrix, campos,
         tanfovx, tanfovy, width, height,
         colors_precomp=colors, shs=shs, sh_degree=sh_degree,
         valid_mask=attrs["valid"], tile_size=tile_size, tile_cap=tile_cap,
-        k_chunk=k_chunk)
+        k_chunk=k_chunk,
+        # same instance budget as training (train_lib.py:111): a model
+        # trained with an auto-grown dup_factor must not be evaluated
+        # under the smaller 8*N default (advisor r2 finding 3)
+        dup_cap=dup_factor * attrs["means3d"].shape[0])
     return out
 
 
@@ -61,6 +67,9 @@ def render_camera(cam, params, stats, deform, pipe_cfg, bg,
         net=net, width=cam.image_width, height=cam.image_height,
         sh_degree=sh_degree, field_mode=net is not None, n_frames=n_frames,
         tile_size=pipe_cfg.tile_size, tile_cap=pipe_cfg.tile_cap,
-        k_chunk=pipe_cfg.k_chunk)
+        k_chunk=pipe_cfg.k_chunk,
+        dup_factor=getattr(pipe_cfg, "dup_factor", 8))
+    # n_dropped > 0 means the render visibly lost instances (eval has no
+    # auto-grow like training does — advisor r2 finding 2); callers warn.
     return {"render": out.color, "depth": out.depth, "opacity": out.alpha,
-            "radii": out.radii}
+            "radii": out.radii, "n_dropped": out.n_dropped}
