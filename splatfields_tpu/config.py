@@ -178,6 +178,11 @@ class OptimizationConfig:
     lambda_norm: float = 0.0
     lambda_corr: float = 0.0
     lambda_corr_color: float = 0.0
+    # Moran-loss cadence: apply the corr terms every k-th step, scaled by k
+    # (expected gradient unchanged). The reference runs its KNN+Moran every
+    # step (train.py:203-215) — measured 271 ms/step at 100k splats on v5e
+    # (CLAUDE.md), 5x the whole step. Default 1 = reference-exact.
+    corr_interval: int = 1
     lambda_norm_mean: float = 0.0
     lambda_depth: float = 0.0
     lambda_opacity: float = 0.0

@@ -138,6 +138,7 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
 
     rng = jax.random.PRNGKey(0)
     step_cache = {}
+    densify_cache = {}   # (size_thr, capacity) -> sharded densify jit
 
     def get_step(field_mode, sh_deg):
         key = (field_mode, sh_deg, params.capacity, pipe_cfg.dup_factor)
@@ -220,6 +221,12 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
             cam_list = [vp]
         batch = build_view_batch(cam_list, num_views, bg, with_mask,
                                  with_depth)
+        if opt_cfg.corr_interval > 1:
+            # Moran budget knob: KNN+corr terms run on gated steps only
+            # (train_lib.compute_losses scales them by the interval)
+            batch["corr_gate"] = jnp.asarray(
+                1.0 if iteration % opt_cfg.corr_interval == 0 else 0.0,
+                jnp.float32)
 
         field_mode = (not is_static) and not (
             opt_cfg.warm_up is not None and 0 < opt_cfg.warm_up
@@ -294,30 +301,46 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 size_thr = 20.0 if iteration > opt_cfg.opacity_reset_interval else 0.0
                 rng, drng = jax.random.split(rng)
                 if mesh is not None:
-                    # densify on unsharded host copies (compaction reorders
-                    # the capacity axis), then re-shard
-                    unshard = lambda t: jax.tree.map(
-                        lambda a: jnp.asarray(np.asarray(a)), t)
-                    params, stats = unshard(params), unshard(stats)
-                    splat_opt = unshard(splat_opt)
-                params, stats, splat_opt, dropped = splats_lib.densify_and_prune(
-                    params, stats, splat_opt, drng,
-                    opt_cfg.densify_grad_threshold, 0.005,
-                    scene.cameras_extent, size_thr,
-                    percent_dense=opt_cfg.percent_dense)
+                    # on-mesh global densify: same program as the host
+                    # path, sharded in/out — no host round-trip of the
+                    # splat state (parallel/step.py::make_sharded_densify)
+                    from splatfields_tpu.parallel import step as pstep
+                    dkey = (size_thr, params.capacity)
+                    if dkey not in densify_cache:
+                        densify_cache.clear()  # capacity grew: drop stale
+                        densify_cache[dkey] = pstep.make_sharded_densify(
+                            mesh, size_thr, opt_cfg.percent_dense)
+                    params, stats, splat_opt, dropped = densify_cache[dkey](
+                        params, stats, splat_opt, drng,
+                        jnp.float32(opt_cfg.densify_grad_threshold),
+                        jnp.float32(0.005),
+                        jnp.float32(scene.cameras_extent))
+                else:
+                    params, stats, splat_opt, dropped = \
+                        splats_lib.densify_and_prune(
+                            params, stats, splat_opt, drng,
+                            opt_cfg.densify_grad_threshold, 0.005,
+                            scene.cameras_extent, size_thr,
+                            percent_dense=opt_cfg.percent_dense)
                 dropped = int(dropped)
                 if dropped > 0:
+                    # rare growth path: re-jit is unavoidable, so the host
+                    # round-trip here is acceptable
                     new_cap = int(params.capacity * 1.5) + dropped
                     if mesh is not None:
+                        unshard = lambda t: jax.tree.map(
+                            lambda a: jnp.asarray(np.asarray(a)), t)
+                        params, stats = unshard(params), unshard(stats)
+                        splat_opt = unshard(splat_opt)
                         n_model = mesh.shape["model"]
                         new_cap = -(-new_cap // n_model) * n_model
                     params, stats, splat_opt = _grow_capacity(
                         params, stats, splat_opt, new_cap)
                     step_cache.clear()
-                if mesh is not None:
-                    from splatfields_tpu.parallel import step as pstep
-                    params, stats, splat_opt = pstep.shard_train_state(
-                        params, stats, splat_opt, mesh)
+                    if mesh is not None:
+                        from splatfields_tpu.parallel import step as pstep
+                        params, stats, splat_opt = pstep.shard_train_state(
+                            params, stats, splat_opt, mesh)
 
         if iteration in test_iterations:
             cur = evaluate(scene, params, stats, deform, model_cfg,

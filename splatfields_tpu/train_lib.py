@@ -145,40 +145,6 @@ def compute_losses(render_outs, batch, attrs, opt, valid):
                 jnp.linalg.norm(attrs["means3d"] - mean_val[None], axis=1),
                 valid)
             loss = loss + opt.lambda_norm_mean * ln
-        if opt.lambda_corr > 0.0 or opt.lambda_corr_color > 0.0:
-            pts = jnp.where(valid[:, None], attrs["means3d"],
-                            1e3 + jnp.arange(valid.shape[0], dtype=jnp.float32)[:, None])
-            w, nn_ix = knn_ops.query_nn(jax.lax.stop_gradient(pts))
-            nb_valid = valid[nn_ix].all(axis=1)
-
-            def moran(feat):
-                per = _neighborhood_morans(w, feat[nn_ix])
-                return 1.0 - jnp.clip(
-                    jnp.sum(per * nb_valid) / jnp.maximum(jnp.sum(nb_valid), 1.0),
-                    0.0, 1.0)
-
-            # The reference's color Moran term runs over the flattened
-            # ``gaussian_features`` [N, K*3] (``train.py:208``). In static /
-            # warm-up mode that's the SH coefficient matrix; in field mode
-            # with an rgb head the reference dict holds ``gaussian_rgb``
-            # instead and the upstream access would KeyError — we use the
-            # predicted rgb as the feature vector there (documented
-            # deviation; no released config hits the upstream crash).
-            feat_vec = None
-            if "shs" in attrs:
-                feat_vec = attrs["shs"].reshape(attrs["shs"].shape[0], -1)
-            elif "rgb" in attrs:
-                feat_vec = attrs["rgb"]
-            if opt.lambda_corr > 0.0:
-                lc = (moran(attrs["scales"]) + moran(attrs["rotations"])
-                      + moran(attrs["opacity"][:, None]))
-                if feat_vec is not None:
-                    lc = lc + moran(feat_vec)
-                loss = loss + opt.lambda_corr * lc
-            if opt.lambda_corr_color > 0.0 and feat_vec is not None:
-                # reference quirk preserved: weighted by lambda_corr, not
-                # lambda_corr_color (``train.py:215``)
-                loss = loss + opt.lambda_corr * moran(feat_vec)
         if opt.lambda_depth > 0.0:
             gt_depth = batch["depth"][v]
             dmask = (gt_depth > 0).astype(jnp.float32)
@@ -197,6 +163,62 @@ def compute_losses(render_outs, batch, attrs, opt, valid):
 
     loss = sum(loss_list) / v_count
     aux = {"l1": sum(l1_list) / v_count}
+
+    if opt.lambda_corr > 0.0 or opt.lambda_corr_color > 0.0:
+        # View-invariant, so computed ONCE per step (the reference adds it
+        # inside its per-view loop, train.py:203-215, but with identical
+        # effect after the view average).
+        def corr_term():
+            pts = jnp.where(
+                valid[:, None], attrs["means3d"],
+                1e3 + jnp.arange(valid.shape[0],
+                                 dtype=jnp.float32)[:, None])
+            w, nn_ix = knn_ops.query_nn(jax.lax.stop_gradient(pts))
+            nb_valid = valid[nn_ix].all(axis=1)
+
+            def moran(feat):
+                per = _neighborhood_morans(w, feat[nn_ix])
+                return 1.0 - jnp.clip(
+                    jnp.sum(per * nb_valid)
+                    / jnp.maximum(jnp.sum(nb_valid), 1.0),
+                    0.0, 1.0)
+
+            # The reference's color Moran term runs over the flattened
+            # ``gaussian_features`` [N, K*3] (``train.py:208``). In static /
+            # warm-up mode that's the SH coefficient matrix; in field mode
+            # with an rgb head the reference dict holds ``gaussian_rgb``
+            # instead and the upstream access would KeyError — we use the
+            # predicted rgb as the feature vector there (documented
+            # deviation; no released config hits the upstream crash).
+            feat_vec = None
+            if "shs" in attrs:
+                feat_vec = attrs["shs"].reshape(attrs["shs"].shape[0], -1)
+            elif "rgb" in attrs:
+                feat_vec = attrs["rgb"]
+            term = jnp.zeros(())
+            if opt.lambda_corr > 0.0:
+                lc = (moran(attrs["scales"]) + moran(attrs["rotations"])
+                      + moran(attrs["opacity"][:, None]))
+                if feat_vec is not None:
+                    lc = lc + moran(feat_vec)
+                term = term + opt.lambda_corr * lc
+            if opt.lambda_corr_color > 0.0 and feat_vec is not None:
+                # reference quirk preserved: weighted by lambda_corr, not
+                # lambda_corr_color (``train.py:215``)
+                term = term + opt.lambda_corr * moran(feat_vec)
+            return term
+
+        interval = max(getattr(opt, "corr_interval", 1), 1)
+        if interval > 1 and "corr_gate" in batch:
+            # budget knob (--corr_interval k): run the O(N^2) KNN+Moran on
+            # every k-th step only, scaled by k so the expected gradient
+            # matches the every-step reference schedule. lax.cond executes
+            # one branch at runtime, so gated-off steps skip the KNN cost.
+            loss = loss + jax.lax.cond(
+                batch["corr_gate"] > 0.0, corr_term,
+                lambda: jnp.zeros(())) * jnp.float32(interval)
+        else:
+            loss = loss + corr_term()
     if mask_l:
         aux["mask"] = sum(mask_l) / len(mask_l)
     if depth_l:

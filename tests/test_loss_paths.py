@@ -31,7 +31,7 @@ def build_batch(s, v=1, with_depth=True):
     }
 
 
-def run_step(opt_cfg, n=128, w=32, h=32):
+def run_step(opt_cfg, n=128, w=32, h=32, batch_extra=None):
     s = make_scene(n=n, width=w, height=h)
     params, stats = splats_lib.create_from_pcd(
         s["means3d"], np.abs(s["colors_precomp"]), 0, capacity=n)
@@ -41,8 +41,11 @@ def run_step(opt_cfg, n=128, w=32, h=32):
         None, opt_cfg, pipe, w, h, num_views=1, field_mode=False,
         n_frames=0, sh_degree=0)
     lrs = splats_lib.splat_lr_tree(1e-4, 1e-3, 0.05, 1e-3, 1e-3)
+    batch = build_batch(s)
+    if batch_extra:
+        batch.update(batch_extra)
     out = step(params, stats, splat_opt, {"params": {}},
-               splats_lib.adam_init({}), build_batch(s), lrs,
+               splats_lib.adam_init({}), batch, lrs,
                jnp.asarray(0.0), jax.random.PRNGKey(0))
     return out[5]
 
@@ -67,6 +70,25 @@ class TestLossPaths:
         opt = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_corr=0.01)
         res = run_step(opt, n=96)
         assert np.isfinite(float(res.loss))
+
+    def test_moran_corr_interval_gate(self):
+        """--corr_interval k: gated-off steps equal the no-corr loss;
+        gated-on steps add k x the every-step corr term."""
+        base = run_step(cfg_lib.OptimizationConfig(lambda_mask=0.0), n=96)
+        every = run_step(cfg_lib.OptimizationConfig(
+            lambda_mask=0.0, lambda_corr=0.01), n=96)
+        opt = cfg_lib.OptimizationConfig(
+            lambda_mask=0.0, lambda_corr=0.01, corr_interval=4)
+        off = run_step(opt, n=96,
+                       batch_extra={"corr_gate": jnp.zeros((), jnp.float32)})
+        on = run_step(opt, n=96,
+                      batch_extra={"corr_gate": jnp.ones((), jnp.float32)})
+        corr_term = float(every.loss) - float(base.loss)
+        assert corr_term > 0
+        np.testing.assert_allclose(float(off.loss), float(base.loss),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(on.loss) - float(base.loss),
+                                   4.0 * corr_term, rtol=1e-4)
 
     def test_norm_losses(self):
         opt = cfg_lib.OptimizationConfig(
