@@ -239,6 +239,45 @@ class TestShardedStep:
             np.asarray(st1.max_radii2d), np.asarray(st8.max_radii2d),
             atol=0.0)
 
+    def test_sharded_densify_matches_host(self):
+        """On-mesh densify (parallel/step.py::make_sharded_densify) must
+        reproduce the host-path global densify bit-for-bit-ish: same rng,
+        same program, only the partitioning differs (VERDICT r2 item 5)."""
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from splatfields_tpu.models import splats as splats_lib
+        from splatfields_tpu.parallel.mesh import make_mesh
+        from splatfields_tpu.parallel.step import (
+            make_sharded_densify, shard_train_state)
+
+        setup = self._setup(field_mode=False)
+        _, params, stats, splat_opt, *_ = setup
+        # make the stats non-trivial so clones/splits/prunes all fire
+        rng = np.random.RandomState(3)
+        stats = dataclasses.replace(
+            stats,
+            xyz_gradient_accum=jnp.asarray(
+                rng.rand(128).astype(np.float32) * 6e-4),
+            denom=jnp.ones(128, jnp.float32),
+            valid=jnp.asarray(rng.rand(128) > 0.1))
+        key = jax.random.PRNGKey(5)
+        hp, hs, ho, hdrop = splats_lib.densify_and_prune(
+            self._clone(params), self._clone(stats), self._clone(splat_opt),
+            key, 2e-4, 0.005, 1.5, 0.0, percent_dense=0.01)
+
+        mesh = make_mesh(8, data=1)
+        sp, st, so = shard_train_state(
+            self._clone(params), self._clone(stats),
+            self._clone(splat_opt), mesh)
+        dens = make_sharded_densify(mesh, 0.0, 0.01)
+        mp, ms, mo, mdrop = dens(sp, st, so, key, jnp.float32(2e-4),
+                                 jnp.float32(0.005), jnp.float32(1.5))
+        assert int(hdrop) == int(mdrop)
+        self._tree_close(hp, mp, 1e-6, "densified params")
+        self._tree_close(hs, ms, 1e-6, "densified stats")
+        self._tree_close(ho.mu, mo.mu, 1e-6, "densified adam mu")
+
     def test_field_mode_data_and_model_sharded_matches_single(self):
         """data=2 x model=4 with different images per data shard: loss and
         updated params must still match the single-device step (the grads
