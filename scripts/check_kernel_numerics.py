@@ -53,7 +53,7 @@ def main():
     else:  # interpret mode is ~1000x slower; shrink the scene
         width = height = 128
         n = 4_000
-        tile_size, tile_cap, k_chunk = 16, 256, 64
+        tile_size, tile_cap, k_chunk = 16, 256, 128
     tiles_x = tiles_y = width // tile_size
     rng = np.random.RandomState(0)
 
@@ -119,6 +119,44 @@ def main():
         return max(float(jnp.max(jnp.abs(x - y))) for x, y in zip(a, b)) \
             if isinstance(a, tuple) else float(jnp.max(jnp.abs(a - b)))
 
+    # sliced tile_ids path ON HARDWARE (VERDICT r2 weak #2): a grid slice
+    # blended via tile_ids must equal the same rows of the full-grid blend
+    lo = tiles_x  # second tile row
+    t_loc = 2 * tiles_x
+    local_starts = jax.lax.dynamic_slice_in_dim(tile_start, lo, t_loc + 1, 0)
+    local_counts = jax.lax.dynamic_slice_in_dim(counts, lo, t_loc, 0)
+    local_ids = lo + jnp.arange(t_loc, dtype=jnp.int32)
+
+    def run_pallas_slice(m2d, con, rgb_, op_, dep):
+        pack = pack_attributes(m2d, con, rgb_, op_, dep)
+        sp = pack[jnp.maximum(binning.sorted_id, 0)]
+        return blend_sorted_pallas(sp, local_starts, local_counts, tiles_x,
+                                   tiles_y, tile_size, tile_cap,
+                                   k_chunk, interpret, tile_ids=local_ids)
+
+    cs, ds_, ts_ = jax.jit(run_pallas_slice)(*attrs)
+    slice_fwd_gap = gap((cs, ds_, ts_),
+                        (cp[lo:lo + t_loc], dp[lo:lo + t_loc],
+                         tp_[lo:lo + t_loc]))
+
+    g_slice_seed = g_seed[lo:lo + t_loc]
+
+    def obj_slice(*a):
+        c, d, tf = run_pallas_slice(*a)
+        return (jnp.sum(c * g_slice_seed) + 0.3 * jnp.sum(d * d)
+                + 0.7 * jnp.sum(tf))
+
+    def obj_full_rows(*a):
+        c, d, tf = run_pallas(*a)
+        c, d, tf = (c[lo:lo + t_loc], d[lo:lo + t_loc], tf[lo:lo + t_loc])
+        return (jnp.sum(c * g_slice_seed) + 0.3 * jnp.sum(d * d)
+                + 0.7 * jnp.sum(tf))
+
+    gs = jax.jit(jax.grad(obj_slice, argnums=argnums))(*attrs)
+    gf = jax.jit(jax.grad(obj_full_rows, argnums=argnums))(*attrs)
+    slice_grad_gap = gap(gs, gf)
+    slice_scale = max(float(jnp.max(jnp.abs(g))) for g in gf) + 1e-12
+
     g_scale = max(float(jnp.max(jnp.abs(g))) for g in gx) + 1e-12
     report = {
         "backend": jax.default_backend(),
@@ -130,6 +168,8 @@ def main():
         "final_t_max_abs": gap(tp_, tx_),
         "grad_max_abs": gap(gp, gx),
         "grad_rel": gap(gp, gx) / g_scale,
+        "slice_fwd_max_abs": slice_fwd_gap,
+        "slice_grad_rel": slice_grad_gap / slice_scale,
         "thresholds": thresholds,
         "wall_s": round(time.time() - t0, 1),
     }
@@ -137,7 +177,10 @@ def main():
         report["color_max_abs"] < thresholds["color"]
         and report["depth_max_abs"] < thresholds["depth"]
         and report["final_t_max_abs"] < thresholds["final_t"]
-        and report["grad_rel"] < thresholds["grad_rel"])
+        and report["grad_rel"] < thresholds["grad_rel"]
+        # slice-vs-full runs the SAME kernel twice: gaps must be ~0
+        and report["slice_fwd_max_abs"] < 1e-5
+        and report["slice_grad_rel"] < 1e-4)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "kernel_numerics.json")
     with open(out_path, "w") as f:

@@ -38,7 +38,7 @@ class TestPallasForward:
         sorted_pack = pack[jnp.maximum(binning.sorted_id, 0)]
         color, depth, tfinal = blend_sorted_pallas(
             sorted_pack, binning.tile_start, binning.counts,
-            tx, ty, 16, 256, 64, True)
+            tx, ty, 16, 256, 128, True)
         np.testing.assert_allclose(
             np.asarray(color), np.transpose(np.asarray(ref.color), (0, 2, 1)),
             atol=1e-5, rtol=1e-4)
@@ -71,10 +71,80 @@ class TestPallasForward:
         sorted_pack = pack[jnp.maximum(binning.sorted_id, 0)]
         color, depth, tfinal = blend_sorted_pallas(
             sorted_pack, binning.tile_start, binning.counts,
-            tx, ty, 16, 256, 64, True)
+            tx, ty, 16, 256, 128, True)
         np.testing.assert_allclose(
             np.asarray(color), np.transpose(np.asarray(ref.color), (0, 2, 1)),
             atol=1e-5, rtol=1e-3)
+
+
+class TestPallasTileIdsSlice:
+    """The sharded step blends a SLICE of the tile grid, passing global
+    ``tile_ids`` so pixel coordinates come from the global grid position
+    (parallel/step.py:135-142). The round-1 advisor's high-severity bug
+    lived exactly here (local grid step used as the global tile id); this
+    pins the fix: a sliced blend must equal the same rows of a full-grid
+    blend, forward AND gradients."""
+
+    def test_slice_matches_full_grid(self):
+        s, pre, binning, tx, ty = setup_scene(n=160, seed=11)
+        pack = blend_jax.pack_attributes(
+            pre.means2d, pre.conics, pre.rgb, pre.opacity, pre.depths)
+        sorted_pack = pack[jnp.maximum(binning.sorted_id, 0)]
+        num_tiles = binning.counts.shape[0]
+        assert num_tiles >= 6
+
+        # full-grid blend (identity tile_ids)
+        c_full, d_full, t_full = blend_sorted_pallas(
+            sorted_pack, binning.tile_start, binning.counts,
+            tx, ty, 16, 256, 128, True)
+
+        # slice: tiles [lo, hi) exactly as parallel/step.py carves them
+        lo, hi = 2, 6
+        t_loc = hi - lo
+        local_starts = jax.lax.dynamic_slice_in_dim(
+            binning.tile_start, lo, t_loc + 1, 0)
+        local_counts = jax.lax.dynamic_slice_in_dim(
+            binning.counts, lo, t_loc, 0)
+        local_ids = lo + jnp.arange(t_loc, dtype=jnp.int32)
+
+        c_sl, d_sl, t_sl = blend_sorted_pallas(
+            sorted_pack, local_starts, local_counts,
+            tx, ty, 16, 256, 128, True, tile_ids=local_ids)
+        np.testing.assert_allclose(np.asarray(c_sl),
+                                   np.asarray(c_full)[lo:hi],
+                                   atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(d_sl),
+                                   np.asarray(d_full)[lo:hi],
+                                   atol=1e-6, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(t_sl),
+                                   np.asarray(t_full)[lo:hi],
+                                   atol=1e-6, rtol=1e-5)
+
+        # gradients: cotangents on the slice vs the same rows of the full
+        # grid (rows outside the slice get zero cotangent)
+        rng = np.random.RandomState(2)
+        gc = jnp.asarray(rng.rand(t_loc, 3, 256).astype(np.float32))
+        gd = jnp.asarray(rng.rand(t_loc, 256).astype(np.float32))
+        gt = jnp.asarray(rng.rand(t_loc, 256).astype(np.float32))
+
+        def loss_slice(sp):
+            c, d, t = blend_sorted_pallas(
+                sp, local_starts, local_counts, tx, ty, 16, 256, 128,
+                True, tile_ids=local_ids)
+            return jnp.sum(c * gc) + jnp.sum(d * gd) + jnp.sum(t * gt)
+
+        def loss_full(sp):
+            c, d, t = blend_sorted_pallas(
+                sp, binning.tile_start, binning.counts, tx, ty, 16, 256,
+                128, True)
+            return (jnp.sum(c[lo:hi] * gc) + jnp.sum(d[lo:hi] * gd)
+                    + jnp.sum(t[lo:hi] * gt))
+
+        g_slice = np.asarray(jax.grad(loss_slice)(sorted_pack))
+        g_full = np.asarray(jax.grad(loss_full)(sorted_pack))
+        scale = np.abs(g_full).max() + 1e-8
+        np.testing.assert_allclose(g_slice / scale, g_full / scale,
+                                   atol=1e-6, rtol=1e-4)
 
 
 class TestPallasBackward:
@@ -93,7 +163,7 @@ class TestPallasBackward:
         def loss_pallas(sp):
             c, d, t = blend_sorted_pallas(
                 sp, binning.tile_start, binning.counts, tx, ty, 16, 256,
-                64, True)
+                128, True)
             return jnp.sum(c * gc) + jnp.sum(d * gd) + jnp.sum(t * gt)
 
         def loss_jax(sp):
