@@ -87,6 +87,19 @@ def main():
         lambda pp: jnp.sum(jnp.tanh(sample_const(pts, pp))))(p),
         pts0, planes)
 
+    # real bench config: 160^2 planes, 16 channels (quad rows = 64 lanes)
+    planes160 = jnp.asarray(rng.randn(3, 16, 160, 160).astype(np.float32))
+
+    def sample_quad160(pts, planes):
+        feats = [gs.grid_sample_2d_quad(planes[i], pts[:, list(ax)])
+                 for i, ax in enumerate(axes)]
+        return jnp.concatenate(feats, axis=-1)
+
+    timeit("quad x3 160^2 fwd", sample_quad160, pts0, planes160)
+    timeit("quad x3 160^2 fwd+bwd", lambda pts, p: jax.value_and_grad(
+        lambda pp: jnp.sum(jnp.tanh(sample_quad160(pts, pp))))(p),
+        pts0, planes160)
+
 
 if __name__ == "__main__":
     main()

@@ -196,10 +196,10 @@ def _fwd_kernel(tile_start_ref, counts_ref, tile_ids_ref, pack_hbm,
 
 
 def _pick_tpb(num_tiles: int) -> int:
-    for tpb in (8, 4, 2):
-        if num_tiles % tpb == 0:
-            return tpb
-    return 1
+    # _pad_tiles handles non-multiples (padding tiles blend nothing), so
+    # always take the largest batch: fewer grid steps = less per-step
+    # overhead (the dominant cost at one tile/step — see _fwd_kernel note)
+    return 8 if num_tiles >= 8 else 1
 
 
 def _pad_tiles(tile_start, counts, tile_ids, num_tiles, tpb):

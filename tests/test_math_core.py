@@ -276,6 +276,31 @@ class TestGridSample:
         np.testing.assert_allclose(np.asarray(folded), np.asarray(g_ref),
                                    atol=1e-5)
 
+    def test_quad_multi_matches_per_plane(self):
+        """The batched multi-plane quad sampler (one gather/scatter for all
+        planes) must match per-plane grid_sample_2d forward AND per-plane
+        gradients."""
+        rng = np.random.RandomState(11)
+        planes = jnp.asarray(rng.randn(3, 4, 9, 7).astype(np.float32))
+        pts = jnp.asarray(rng.rand(50, 3).astype(np.float32) * 2.4 - 1.2)
+        axes = ((0, 1), (1, 2), (2, 0))
+        coords_list = [pts[:, list(ax)] for ax in axes]
+        out = gs_ops.grid_sample_2d_quad_multi(planes, coords_list)
+        assert out.shape == (50, 3, 4)
+        for i in range(3):
+            ref = gs_ops.grid_sample_2d(planes[i], coords_list[i])
+            np.testing.assert_allclose(np.asarray(out[:, i]),
+                                       np.asarray(ref), atol=1e-5)
+        g = jnp.asarray(rng.rand(50, 3, 4).astype(np.float32))
+        g_multi = jax.grad(lambda p: jnp.sum(
+            gs_ops.grid_sample_2d_quad_multi(p, coords_list) * g))(planes)
+        for i in range(3):
+            g_ref = jax.grad(lambda p: jnp.sum(
+                gs_ops.grid_sample_2d(p, coords_list[i]) * g[:, i]))(
+                    planes[i])
+            np.testing.assert_allclose(np.asarray(g_multi[i]),
+                                       np.asarray(g_ref), atol=1e-5)
+
     @pytest.mark.parametrize("align", [False, True])
     def test_3d_matches_torch(self, align):
         rng = np.random.RandomState(3)
