@@ -73,6 +73,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--set-baseline", action="store_true")
     ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--seed", type=int, default=42,
+                    help="scene/init seed (A/B spread probe; shapes are "
+                         "seed-independent so no recompile)")
+    ap.add_argument("--no-artifact", action="store_true",
+                    help="print the result without touching "
+                         "quality_gate.json (for seed-spread probes)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() != "cpu"
@@ -88,7 +94,7 @@ def main():
     from splatfields_tpu.ops.raster.api import rasterize
     from splatfields_tpu.ops.ssim import psnr as psnr_fn
 
-    rng = np.random.RandomState(42)
+    rng = np.random.RandomState(args.seed)
     fov = 0.8
     tanfov = math.tan(fov / 2)
 
@@ -199,6 +205,9 @@ def main():
 
     if not on_tpu:
         print(json.dumps({"smoke_ok": True, **result}))
+        return 0
+    if args.no_artifact:
+        print(json.dumps({"seed": args.seed, **result}))
         return 0
 
     baseline = None

@@ -199,6 +199,12 @@ class ResFieldLinear(nn.Module):
     def __call__(self, x: jnp.ndarray, input_time=None,
                  frame_id: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         if not self.active or (frame_id is None and input_time is None):
+            if x.dtype == jnp.bfloat16:
+                # mixed-precision activations (GeneralMLP bf16 knob): dot
+                # in bf16 with f32 accumulation, f32 bias
+                return jnp.matmul(
+                    x, self.weight.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + self.bias
             return jnp.matmul(x, self.weight) + self.bias
         w = self._delta_weight(input_time=input_time, frame_id=frame_id)
         if w.ndim == 2:

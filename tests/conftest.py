@@ -9,6 +9,11 @@ import as well.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Math-parity tests (weight transplants vs the torch reference, fused-vs-
+# sequential head equality) define correctness at f32; the production
+# default is bf16 MLP activations (models/mlp.py — quality-gated on TPU).
+# A dedicated test covers the bf16 path explicitly (test_fields.py).
+os.environ.setdefault("SPLATFIELDS_MLP_BF16", "off")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -87,6 +87,28 @@ class TestGeneralMLP:
         y = m.apply(v, x)
         assert y.shape == (17, 3)
 
+    def test_bf16_activation_knob(self, monkeypatch):
+        """The production default stores inter-layer activations in bf16
+        (models/mlp.py; the suite pins f32 via conftest). The bf16 path
+        must return f32 outputs close to the f32 path, and gradients must
+        stay finite."""
+        m = GeneralMLP(in_features=3, out_features=3, hidden_features=32,
+                       num_hidden_layers=4, skips=(2,), multires=6,
+                       out_activation="none", act="leaky_relu",
+                       composition_rank=0, n_frames=0)
+        x = jnp.asarray(
+            np.random.RandomState(9).randn(64, 3).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(9), x)
+        y32 = m.apply(v, x)
+        monkeypatch.setenv("SPLATFIELDS_MLP_BF16", "on")
+        y16 = m.apply(v, x)
+        assert y16.dtype == jnp.float32
+        scale = float(jnp.abs(y32).max()) + 1e-6
+        assert float(jnp.abs(y16 - y32).max()) / scale < 3e-2
+        g = jax.grad(lambda p: jnp.sum(jnp.tanh(m.apply(p, x))))(v)
+        assert all(np.isfinite(np.asarray(l)).all()
+                   for l in jax.tree.leaves(g))
+
     def test_feat_concat(self):
         m = GeneralMLP(in_features=3 + 10, out_features=4, hidden_features=16,
                        num_hidden_layers=3, skips=(1,), multires=4,
