@@ -61,6 +61,12 @@ class TimeConv(nn.Module):
         kernel = self.param(
             "kernel", kinit, (self.kernel, self.kernel, in_ch, self.features))
         bias = self.param("bias", zeros_init, (self.features,))
+        # bf16 conv inputs (SPLATFIELDS_CNN_BF16): f32 convs lower to
+        # multi-pass bf16 on the MXU, so casting inputs+kernel to bf16
+        # with f32 accumulation trades invisible precision for pass count.
+        # Output, bias and GroupNorm stay f32. Quality-gate before use.
+        import os
+        bf16 = os.environ.get("SPLATFIELDS_CNN_BF16", "off") == "on"
         if self.strategy == "per_frame" and self.n_frames > 1:
             # init = 0.01 * shared kernel, replicated per frame (reference
             # time_decoders.py:30-32). Implemented as an init-time transform
@@ -77,10 +83,18 @@ class TimeConv(nn.Module):
             if frame_id is not None:
                 kernel = kernel + frame_w[frame_id]
         pad = self.kernel // 2
-        return jax.lax.conv_general_dilated(
+        if bf16:
+            # bf16 conv output (upcast after): a f32 preferred_element_type
+            # would hand the conv transpose an f32 cotangent against bf16
+            # operands, which lax.conv rejects; the MXU still accumulates
+            # f32 internally
+            x = x.astype(jnp.bfloat16)
+            kernel = kernel.astype(jnp.bfloat16)
+        out = jax.lax.conv_general_dilated(
             x, kernel, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bias
+        )
+        return out.astype(jnp.float32) + bias
 
 
 class ResnetBlock(nn.Module):
