@@ -239,6 +239,22 @@ class TestShardedStep:
             np.asarray(st1.max_radii2d), np.asarray(st8.max_radii2d),
             atol=0.0)
 
+    def test_sharded_step_with_corr_gate(self):
+        """--corr_interval threads a replicated corr_gate scalar through
+        the sharded batch (parallel/step.py batch_spec); gated-on loss
+        must match the single-device gated-on loss."""
+        import dataclasses as dc
+        import jax.numpy as jnp
+        setup = self._setup(field_mode=False)
+        s, params, stats, splat_opt, deform, opt_cfg, pipe_cfg, batch = setup
+        opt_cfg = dc.replace(opt_cfg, lambda_corr=0.01, corr_interval=2)
+        batch = dict(batch, corr_gate=jnp.ones((), jnp.float32))
+        setup = (s, params, stats, splat_opt, deform, opt_cfg, pipe_cfg,
+                 batch)
+        *_, out1, _ = self._run_single(setup, False, 0)
+        *_, out8 = self._run_sharded(setup, False, 0, n_dev=8, data=1)
+        assert abs(float(out1.loss) - float(out8.loss)) < 1e-4
+
     def test_sharded_densify_matches_host(self):
         """On-mesh densify (parallel/step.py::make_sharded_densify) must
         reproduce the host-path global densify bit-for-bit-ish: same rng,
