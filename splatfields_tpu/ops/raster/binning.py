@@ -108,15 +108,6 @@ def duplicate_instances(
     fixed tile shard."""
     n = means2d.shape[0]
     num_tiles = tiles_x * tiles_y
-    # ids/starts ride in a float32 row matrix below (one-gather packing);
-    # float32 is integer-exact only to 2^24, so those fields silently
-    # corrupt beyond that (advisor r2 finding 1). All current configs are
-    # ~20x under the limit; large-N ring shards bin per-block (c_loc).
-    if n >= (1 << 24) or dup_cap > (1 << 24):
-        raise ValueError(
-            f"binning packs ids/offsets as float32 (exact to 2^24): "
-            f"n={n}, dup_cap={dup_cap} exceed it — shard the splats "
-            f"(parallel/ring.py) or switch row_data to int32 fields")
 
     visible = radii > 0
     xmin, ymin, xmax, ymax = tile_rects(means2d, radii, tiles_x, tiles_y,
@@ -130,13 +121,16 @@ def duplicate_instances(
 
     # pack the per-gaussian duplication data into ONE row matrix so every
     # later lookup is a single row gather (TPU gathers fetch a whole
-    # (8,128) tile per index — per-attribute gathers are ~5x the traffic)
+    # (8,128) tile per index — per-attribute gathers are ~5x the traffic).
+    # All fields stay int32 — the depth rides along BITCAST to int32 —
+    # so ids/offsets are exact at any N (no float32 2^24 ceiling, advisor
+    # r2 finding 1) and the ~1.7 ms/step of int<->float converts the old
+    # float32 row matrix forced (round-3 trace, fusion over 5x s32[500k])
+    # disappear.
     own_id = jnp.arange(n, dtype=jnp.int32)
     row_data = jnp.stack(
-        [xmin.astype(jnp.float32), ymin.astype(jnp.float32),
-         jnp.maximum(span_x_u, 1).astype(jnp.float32),
-         own_id.astype(jnp.float32), starts.astype(jnp.float32),
-         depths], axis=1)
+        [xmin, ymin, jnp.maximum(span_x_u, 1), own_id, starts,
+         jax.lax.bitcast_convert_type(depths, jnp.int32)], axis=1)
 
     # --- gather-based duplication ---
     d = jnp.arange(dup_cap, dtype=jnp.int32)
@@ -152,14 +146,16 @@ def duplicate_instances(
     g = _cummax_2level(marks) - 1
     g = jnp.clip(g, 0, n - 1)
     dup_rows = row_data[g]              # ONE row gather [dup_cap, 6]
-    rank = d - dup_rows[:, 4].astype(jnp.int32)
-    sx = dup_rows[:, 2].astype(jnp.int32)
-    tx = dup_rows[:, 0].astype(jnp.int32) + rank % sx
-    ty = dup_rows[:, 1].astype(jnp.int32) + rank // sx
+    rank = d - dup_rows[:, 4]
+    sx = dup_rows[:, 2]
+    tx = dup_rows[:, 0] + rank % sx
+    ty = dup_rows[:, 1] + rank // sx
     dup_valid = d < total
     tile = jnp.where(dup_valid, ty * tiles_x + tx, num_tiles)  # sentinel last
-    gauss_id = jnp.where(dup_valid, dup_rows[:, 3].astype(jnp.int32), -1)
-    depth = jnp.where(dup_valid, dup_rows[:, 5], jnp.inf)
+    gauss_id = jnp.where(dup_valid, dup_rows[:, 3], -1)
+    depth = jnp.where(
+        dup_valid,
+        jax.lax.bitcast_convert_type(dup_rows[:, 5], jnp.float32), jnp.inf)
     return tile, gauss_id, total, depth
 
 
