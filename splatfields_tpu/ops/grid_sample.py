@@ -9,6 +9,7 @@ padding_mode='zeros', align_corners=False) and 3-D grids
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -190,12 +191,61 @@ def _quad_idx_fwd(quad_rows, idx, w4, gather_dtype=None):
             (quad_rows.shape, idx, w4))
 
 
+def _segment_rows_sum(idx: jnp.ndarray, packed: jnp.ndarray, n_rows: int,
+                      C: int) -> jnp.ndarray:
+    """Scatter-FREE transpose of the quad-row gather: sum ``packed``'s
+    per-point (g | w4) rows into their destination table rows using only a
+    sort, one row gather, a cumsum and a boundary diff (XLA scatters
+    serialize per index on TPU — the same reason binning is scatter-free,
+    see ops/raster/binning.py).
+
+    1. sort point slots by destination row (int32 keys + iota payload);
+    2. ONE row gather reorders the narrow [N, C+4] (g | w4) pack — cheaper
+       than reordering the expanded [N, 4C] update rows;
+    3. expand to update rows and take an f32 running prefix sum;
+    4. per-table-row sums are prefix differences at segment boundaries,
+       located by one searchsorted (a vectorized binary search) and read
+       with two [n_rows]-row gathers.
+
+    Summation order inside a row changes from scatter order to sorted-slot
+    order and the prefix diff rounds once per boundary, so results match
+    the scatter to ~1e-6 relative, not bitwise.
+
+    Measured NEGATIVE end-to-end (SPLATFIELDS_SORTED_PLANE_GRAD=on, bench
+    round 3): 57.8 vs 47.2 ms/step — the per-plane sort + reorder gather +
+    [N, 4C] cumsum + 25k-query searchsorted cost ~3.5 ms/plane, more than
+    the scatters they replace. The round-3 trace attributed 6.96 ms to
+    plane 0's scatter but only 1.38 ms to planes 1-2's identical scatters;
+    this A/B confirms that attribution was scoped-memory pressure, not
+    scatter cost (PERF_FLOOR.md documents the instability). Kept as a knob
+    because the balance could flip at much larger N or table sizes.
+    """
+    n = idx.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sidx, order = jax.lax.sort((idx, iota), num_keys=1)
+    sp = packed[order]
+    sg, sw = sp[:, :C], sp[:, C:]
+    rows_g = (sg[:, None, :] * sw[:, :, None]).reshape(n, 4 * C)
+    csum = jnp.cumsum(rows_g, axis=0, dtype=jnp.float32)
+    csum0 = jnp.concatenate(
+        [jnp.zeros((1, 4 * C), jnp.float32), csum], axis=0)
+    bounds = jnp.searchsorted(
+        sidx, jnp.arange(n_rows + 1, dtype=jnp.int32), side="left")
+    seg = csum0[bounds]
+    return seg[1:] - seg[:-1]
+
+
 def _quad_idx_bwd(gather_dtype, res, g):
     (n_rows, C4), idx, w4 = res
     n = idx.shape[0]
-    rows_g = (g[:, None, :] * w4[:, :, None]).reshape(n, C4)
-    grad = jnp.zeros((n_rows, C4), g.dtype)
-    grad = grad.at[idx].add(rows_g)  # ONE scatter
+    if os.environ.get("SPLATFIELDS_SORTED_PLANE_GRAD", "off") == "on":
+        grad = _segment_rows_sum(
+            idx, jnp.concatenate([g, w4], axis=1), n_rows,
+            C4 // 4).astype(g.dtype)
+    else:
+        rows_g = (g[:, None, :] * w4[:, :, None]).reshape(n, C4)
+        grad = jnp.zeros((n_rows, C4), g.dtype)
+        grad = grad.at[idx].add(rows_g)  # ONE scatter
     return grad, None, jnp.zeros_like(w4)
 
 

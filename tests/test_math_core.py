@@ -276,6 +276,35 @@ class TestGridSample:
         np.testing.assert_allclose(np.asarray(folded), np.asarray(g_ref),
                                    atol=1e-5)
 
+    def test_quad_sorted_plane_grad(self, monkeypatch):
+        """SPLATFIELDS_SORTED_PLANE_GRAD=on replaces the backward's scatter
+        with a sort + cumsum + boundary-diff segment sum; the plane gradient
+        must match the scatter path to float tolerance (summation order
+        differs), including empty rows, hot rows (many points in one cell)
+        and out-of-bounds points."""
+        rng = np.random.RandomState(13)
+        plane = jnp.asarray(rng.randn(6, 17, 13).astype(np.float32))
+        # cluster many points into few cells so segments are long, and add
+        # out-of-bounds points (zero weights) plus uniform coverage
+        hot = np.tile(np.array([[0.31, -0.47]], np.float32), (400, 1))
+        hot += rng.randn(400, 2).astype(np.float32) * 1e-3
+        coords = jnp.asarray(np.concatenate([
+            hot,
+            rng.rand(800, 2).astype(np.float32) * 2.4 - 1.2,
+            np.array([[-1.4, 0.0], [0.0, 1.4]], np.float32),
+        ]))
+        g = jnp.asarray(rng.rand(coords.shape[0], 6).astype(np.float32))
+
+        def loss(p):
+            return jnp.sum(gs_ops.grid_sample_2d_quad(p, coords) * g)
+
+        g_scatter = jax.grad(loss)(plane)
+        monkeypatch.setenv("SPLATFIELDS_SORTED_PLANE_GRAD", "on")
+        g_sorted = jax.grad(loss)(plane)
+        np.testing.assert_allclose(np.asarray(g_sorted),
+                                   np.asarray(g_scatter),
+                                   rtol=1e-5, atol=1e-4)
+
     def test_quad_multi_matches_per_plane(self):
         """The batched multi-plane quad sampler (one gather/scatter for all
         planes) must match per-plane grid_sample_2d forward AND per-plane
