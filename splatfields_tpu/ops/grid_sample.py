@@ -242,6 +242,18 @@ def _quad_idx_bwd(gather_dtype, res, g):
         grad = _segment_rows_sum(
             idx, jnp.concatenate([g, w4], axis=1), n_rows,
             C4 // 4).astype(g.dtype)
+    elif os.environ.get("SPLATFIELDS_PLANE_GRAD_PALLAS", "off") == "on":
+        # Pallas MXU segment sum instead of the XLA scatter: sort the
+        # slots by destination row (iota payload), reorder the narrow
+        # (g | w4) pack with ONE row gather, expand, and mask-matmul
+        # per output block (ops/segsum_pallas.py).
+        from splatfields_tpu.ops.segsum_pallas import sorted_segment_sum
+        iota = jnp.arange(n, dtype=jnp.int32)
+        sidx, order = jax.lax.sort((idx, iota), num_keys=1)
+        sp = jnp.concatenate([g, w4], axis=1)[order]
+        C = C4 // 4
+        rows_g = (sp[:, None, :C] * sp[:, C:, None]).reshape(n, C4)
+        grad = sorted_segment_sum(sidx, rows_g, n_rows).astype(g.dtype)
     else:
         rows_g = (g[:, None, :] * w4[:, :, None]).reshape(n, C4)
         grad = jnp.zeros((n_rows, C4), g.dtype)
