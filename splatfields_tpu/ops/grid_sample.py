@@ -208,8 +208,13 @@ def _segment_rows_sum(idx: jnp.ndarray, packed: jnp.ndarray, n_rows: int,
        with two [n_rows]-row gathers.
 
     Summation order inside a row changes from scatter order to sorted-slot
-    order and the prefix diff rounds once per boundary, so results match
-    the scatter to ~1e-6 relative, not bitwise.
+    order and the prefix diff rounds once per boundary. NOTE on accuracy:
+    the rounding error of a segment is ABSOLUTE, on the order of the f32
+    running-prefix magnitude at that point (which grows with N), not
+    relative to the segment's own sum — a near-zero segment late in a
+    large array can see error far above 1e-6 of its value. Tests cover
+    N~1.2k; if this knob is ever enabled at much larger N, switch the
+    cumsum to f64 (CPU) or a pairwise/blocked scheme.
 
     Measured NEGATIVE end-to-end (SPLATFIELDS_SORTED_PLANE_GRAD=on, bench
     round 3): 57.8 vs 47.2 ms/step — the per-plane sort + reorder gather +
@@ -238,6 +243,17 @@ def _segment_rows_sum(idx: jnp.ndarray, packed: jnp.ndarray, n_rows: int,
 def _quad_idx_bwd(gather_dtype, res, g):
     (n_rows, C4), idx, w4 = res
     n = idx.shape[0]
+    # Both knobs are read at TRACE time (toggling the env var after the
+    # step has compiled has no effect until recompilation) and they are
+    # mutually exclusive alternatives for the same VJP — refuse ambiguity
+    # rather than silently letting the sorted path shadow the Pallas one.
+    if (os.environ.get("SPLATFIELDS_SORTED_PLANE_GRAD", "off") == "on"
+            and os.environ.get("SPLATFIELDS_PLANE_GRAD_PALLAS", "off")
+            == "on"):
+        raise ValueError(
+            "SPLATFIELDS_SORTED_PLANE_GRAD and SPLATFIELDS_PLANE_GRAD_PALLAS"
+            " are both 'on'; they select alternative plane-grad VJPs —"
+            " enable at most one (both are read at trace time).")
     if os.environ.get("SPLATFIELDS_SORTED_PLANE_GRAD", "off") == "on":
         grad = _segment_rows_sum(
             idx, jnp.concatenate([g, w4], axis=1), n_rows,

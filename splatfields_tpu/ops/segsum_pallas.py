@@ -115,6 +115,11 @@ def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
     Returns [n_rows, D] float32 segment sums.
     """
     n, d = vals.shape
+    if k <= 0 or k % 8:
+        # The kernel's dynamic DMA slices and the k+8 overrun pad assume a
+        # positive sublane-aligned chunk; a stray k would silently misalign.
+        raise ValueError(
+            f"sorted_segment_sum: k={k} must be a positive multiple of 8")
     if n_rows >= 1 << 24:
         raise ValueError(
             f"sorted_segment_sum: n_rows={n_rows} exceeds the float-coded "

@@ -74,6 +74,11 @@ def field_attributes(net, variables, xyz, scaling, valid, fid, n_frames,
         out["rgb_feat"] = ret["rgb_feat"]
     if ret.get("flow") is not None:
         out["flow"] = ret["flow"]
+    if ret.get("gradient_error") is not None:
+        # Pass-through for the lambda_gradient loss term (reference
+        # train.py:70-76,247-250). No upstream field emits this key today,
+        # but the wiring keeps parity if a custom net provides it.
+        out["gradient_error"] = ret["gradient_error"]
     return out
 
 
@@ -229,6 +234,12 @@ def compute_losses(render_outs, batch, attrs, opt, valid):
         lo = _masked_mean((attrs["opacity"] - 1.0) ** 2, valid)
         loss = loss + opt.lambda_opacity * lo
         aux["opacity"] = lo
+    if opt.lambda_gradient > 0.0 and "gradient_error" in attrs:
+        # Once per step, after the view average (reference train.py:247-250:
+        # added to the already-averaged loss, guarded on the dict key).
+        lg = attrs["gradient_error"]
+        loss = loss + opt.lambda_gradient * lg
+        aux["gradient"] = lg
     return loss, aux
 
 

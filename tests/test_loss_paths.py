@@ -90,6 +90,34 @@ class TestLossPaths:
         np.testing.assert_allclose(float(on.loss) - float(base.loss),
                                    4.0 * corr_term, rtol=1e-4)
 
+    def test_lambda_gradient_passthrough(self):
+        """lambda_gradient consumes attrs['gradient_error'] once per step
+        (reference train.py:247-250); absent key => exact no-op."""
+        import collections
+        Out = collections.namedtuple("Out", "color alpha depth n_dropped")
+        h = w = 8
+        rng = np.random.RandomState(1)
+        out = Out(color=jnp.asarray(rng.rand(3, h, w).astype(np.float32)),
+                  alpha=jnp.zeros((1, h, w)), depth=jnp.zeros((1, h, w)),
+                  n_dropped=jnp.zeros((), jnp.int32))
+        batch = {"image": jnp.asarray(rng.rand(1, 3, h, w).astype(np.float32))}
+        valid = jnp.ones((4,), bool)
+        attrs = {"means3d": jnp.zeros((4, 3)), "opacity": jnp.ones((4,))}
+        opt = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_gradient=0.5)
+        base, _ = train_lib.compute_losses([out], batch, attrs, opt, valid)
+        attrs_g = dict(attrs, gradient_error=jnp.asarray(0.25, jnp.float32))
+        lossg, aux = train_lib.compute_losses([out], batch, attrs_g, opt,
+                                              valid)
+        np.testing.assert_allclose(float(lossg) - float(base), 0.5 * 0.25,
+                                   rtol=1e-6)
+        assert float(aux["gradient"]) == 0.25
+        # lambda_gradient == 0 ignores the key (reference guard on both)
+        opt0 = cfg_lib.OptimizationConfig(lambda_mask=0.0)
+        loss0, aux0 = train_lib.compute_losses([out], batch, attrs_g, opt0,
+                                               valid)
+        np.testing.assert_allclose(float(loss0), float(base), rtol=1e-7)
+        assert "gradient" not in aux0
+
     def test_norm_losses(self):
         opt = cfg_lib.OptimizationConfig(
             lambda_mask=0.0, lambda_norm=0.01, lambda_norm_mean=0.01)

@@ -305,6 +305,19 @@ class TestGridSample:
                                    np.asarray(g_scatter),
                                    rtol=1e-5, atol=1e-4)
 
+    def test_plane_grad_knob_conflict_raises(self, monkeypatch):
+        """Both plane-grad knobs on => explicit error, not silent shadowing
+        (the env vars are read at trace time)."""
+        import pytest
+        rng = np.random.RandomState(3)
+        plane = jnp.asarray(rng.randn(4, 9, 7).astype(np.float32))
+        coords = jnp.asarray(rng.rand(16, 2).astype(np.float32) - 0.5)
+        monkeypatch.setenv("SPLATFIELDS_SORTED_PLANE_GRAD", "on")
+        monkeypatch.setenv("SPLATFIELDS_PLANE_GRAD_PALLAS", "on")
+        with pytest.raises(ValueError, match="at most one"):
+            jax.grad(lambda p: jnp.sum(
+                gs_ops.grid_sample_2d_quad(p, coords)))(plane)
+
     def test_quad_multi_matches_per_plane(self):
         """The batched multi-plane quad sampler (one gather/scatter for all
         planes) must match per-plane grid_sample_2d forward AND per-plane
