@@ -46,20 +46,45 @@ from splatfields_tpu.models.initializers import (
 )
 
 
+def _grouped_linear(key, shape, dtype=jnp.float32):
+    """[groups, in, out] block-diagonal linear; torch default per block."""
+    fan_in = shape[1]
+    k = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -k, k)
+
+
+def _kaiming_grouped(groups):
+    """kaiming_normal_conv with per-group fan_out (each group is an
+    independent conv of out//groups features)."""
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, _, out = shape
+        std = np.sqrt(2.0 / (kh * kw * (out // groups)))
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
 class TimeConv(nn.Module):
-    """3x3 (or 1x1) conv with optional per-frame weight deltas."""
+    """3x3 (or 1x1) conv with optional per-frame weight deltas.
+
+    ``groups > 1`` is the block-diagonal channel-pack lowering
+    (feature_group_count): N independent per-plane convs become ONE conv
+    over N*C lanes — identical math, fewer/wider MXU passes."""
     features: int
     kernel: int = 3
     n_frames: int = 0
     strategy: str = "none"   # 'none' | 'per_frame'
     zero_init: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, frame_id=None):
         in_ch = x.shape[-1]
-        kinit = zeros_init if self.zero_init else kaiming_normal_conv
+        kinit = (zeros_init if self.zero_init
+                 else (_kaiming_grouped(self.groups) if self.groups > 1
+                       else kaiming_normal_conv))
         kernel = self.param(
-            "kernel", kinit, (self.kernel, self.kernel, in_ch, self.features))
+            "kernel", kinit,
+            (self.kernel, self.kernel, in_ch // self.groups, self.features))
         bias = self.param("bias", zeros_init, (self.features,))
         # bf16 conv inputs (SPLATFIELDS_CNN_BF16): f32 convs lower to
         # multi-pass bf16 on the MXU, so casting inputs+kernel to bf16
@@ -76,10 +101,12 @@ class TimeConv(nn.Module):
             scale = 0.0 if self.zero_init else 0.01
             fw_init = (zeros_init if self.zero_init
                        else normal_scaled(scale * float(np.sqrt(
-                           2.0 / (self.kernel * self.kernel * self.features)))))
+                           2.0 / (self.kernel * self.kernel
+                                  * (self.features // self.groups))))))
             frame_w = self.param(
                 "frame_weights", fw_init,
-                (self.n_frames, self.kernel, self.kernel, in_ch, self.features))
+                (self.n_frames, self.kernel, self.kernel,
+                 in_ch // self.groups, self.features))
             if frame_id is not None:
                 kernel = kernel + frame_w[frame_id]
         pad = self.kernel // 2
@@ -93,6 +120,7 @@ class TimeConv(nn.Module):
         out = jax.lax.conv_general_dilated(
             x, kernel, (1, 1), [(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
         )
         return out.astype(jnp.float32) + bias
 
@@ -103,23 +131,25 @@ class ResnetBlock(nn.Module):
     eps: float = 1e-6
     n_frames: int = 0
     strategy: str = "none"
+    conv_groups: int = 1   # channel-pack feature_group_count
 
     @nn.compact
     def __call__(self, x, frame_id=None):
         in_ch = x.shape[-1]
+        cg = self.conv_groups
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          name="norm1")(x)
         h = jax.nn.silu(h)
         h = TimeConv(self.out_channels, 3, self.n_frames, self.strategy,
-                     name="conv1")(h, frame_id)
+                     groups=cg, name="conv1")(h, frame_id)
         h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                          name="norm2")(h)
         h = jax.nn.silu(h)
         h = TimeConv(self.out_channels, 3, self.n_frames, self.strategy,
-                     zero_init=True, name="conv2")(h, frame_id)
+                     zero_init=True, groups=cg, name="conv2")(h, frame_id)
         if in_ch != self.out_channels:
             x = TimeConv(self.out_channels, 1, self.n_frames, self.strategy,
-                         name="conv_shortcut")(x, frame_id)
+                         groups=cg, name="conv_shortcut")(x, frame_id)
         return x + h
 
 
@@ -131,12 +161,45 @@ class SpatialAttention(nn.Module):
     groups: int = 32
     eps: float = 1e-6
 
+    n_packs: int = 1
+
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
         hstates = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                                name="group_norm")(x)
+        if self.n_packs > 1:
+            # block-diagonal (per-pack) projections + per-pack attention:
+            # one batched matmul per projection instead of n_packs small
+            # Denses; math identical to the unpacked per-plane module.
+            g, cgr = self.n_packs, c // self.n_packs
+            tokens = hstates.reshape(b, h * w, g, cgr)
+
+            def glin(name, zero=False):
+                kin = zeros_init if zero else _grouped_linear
+                wgt = self.param(f"{name}_kernel", kin, (g, cgr, cgr))
+                bia = self.param(
+                    f"{name}_bias",
+                    zeros_init if zero else torch_linear_bias(cgr), (g, cgr))
+                return wgt, bia
+
+            def apply(tok, name, zero=False):
+                wgt, bia = glin(name, zero)
+                return jnp.einsum("bqgc,gcd->bqgd", tok, wgt,
+                                  precision="highest") + bia
+
+            q = apply(tokens, "to_q")
+            k = apply(tokens, "to_k")
+            v = apply(tokens, "to_v")
+            scale = 1.0 / jnp.sqrt(jnp.asarray(cgr, jnp.float32))
+            attn = jnp.einsum("bqgc,bkgc->bgqk", q, k,
+                              precision="highest") * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(x.dtype)
+            out = jnp.einsum("bgqk,bkgc->bqgc", attn, v, precision="highest")
+            out = apply(out, "to_out", zero=True)
+            return res + out.reshape(b, h, w, c)
         tokens = hstates.reshape(b, h * w, c)
         q = nn.Dense(c, kernel_init=torch_linear_weight,
                      bias_init=torch_linear_bias(c), name="to_q")(tokens)
@@ -158,17 +221,25 @@ class Upsample2x(nn.Module):
     features: int
     n_frames: int = 0
     strategy: str = "none"
+    conv_groups: int = 1
 
     @nn.compact
     def __call__(self, x, frame_id=None):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
         return TimeConv(self.features, 3, self.n_frames, self.strategy,
-                        name="conv")(x, frame_id)
+                        groups=self.conv_groups, name="conv")(x, frame_id)
 
 
 class TimeVAEDecoder(nn.Module):
-    """Noise [B, h, w, in_ch] -> planes [B, 8h, 8w, out_ch]."""
+    """Noise [B, h, w, in_ch] -> planes [B, 8h, 8w, out_ch].
+
+    ``n_packs > 1`` runs N independent decoders as ONE channel-packed
+    decoder (all convs grouped via feature_group_count, GroupNorm group
+    count scaled, block-diagonal attention): per-pack math is identical to
+    n_packs separate modules, but every conv runs n_packs x wider MXU
+    lanes (32 -> 96 at the bench config). Channel sizes here are PER PACK;
+    input is [B, h, w, n_packs*in_ch] pack-major, output likewise."""
     in_channels: int = 8
     out_channels: int = 16
     block_out_channels: Sequence[int] = (32, 32, 32, 32)
@@ -176,34 +247,38 @@ class TimeVAEDecoder(nn.Module):
     norm_num_groups: int = 32
     n_frames: int = 0
     strategy: str = "none"
+    n_packs: int = 1
 
     @nn.compact
     def __call__(self, z, frame_id=None):
+        p = self.n_packs
         tc = dict(n_frames=self.n_frames, strategy=self.strategy)
-        ch_last = self.block_out_channels[-1]
-        x = TimeConv(ch_last, 3, name="conv_in", **tc)(z, frame_id)
+        rc = dict(tc, conv_groups=p)
+        gn = self.norm_num_groups * p
+        ch_last = self.block_out_channels[-1] * p
+        x = TimeConv(ch_last, 3, groups=p, name="conv_in", **tc)(z, frame_id)
 
         # mid block: resnet -> attention -> resnet
-        x = ResnetBlock(ch_last, self.norm_num_groups, name="mid_res0", **tc)(
-            x, frame_id)
-        x = SpatialAttention(ch_last, self.norm_num_groups, name="mid_attn")(x)
-        x = ResnetBlock(ch_last, self.norm_num_groups, name="mid_res1", **tc)(
-            x, frame_id)
+        x = ResnetBlock(ch_last, gn, name="mid_res0", **rc)(x, frame_id)
+        x = SpatialAttention(ch_last, gn, n_packs=p, name="mid_attn")(x)
+        x = ResnetBlock(ch_last, gn, name="mid_res1", **rc)(x, frame_id)
 
         rev = list(reversed(self.block_out_channels))
         n_blocks = len(self.block_out_channels)
         for i in range(n_blocks):
-            out_ch = rev[i]
+            out_ch = rev[i] * p
             for j in range(self.layers_per_block + 1):
-                x = ResnetBlock(out_ch, self.norm_num_groups,
-                                name=f"up{i}_res{j}", **tc)(x, frame_id)
+                x = ResnetBlock(out_ch, gn,
+                                name=f"up{i}_res{j}", **rc)(x, frame_id)
             if i != n_blocks - 1:
-                x = Upsample2x(out_ch, name=f"up{i}_upsample", **tc)(x, frame_id)
+                x = Upsample2x(out_ch, conv_groups=p,
+                               name=f"up{i}_upsample", **tc)(x, frame_id)
 
-        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6,
+        x = nn.GroupNorm(num_groups=gn, epsilon=1e-6,
                          name="conv_norm_out")(x)
         x = jax.nn.silu(x)
-        x = TimeConv(self.out_channels, 3, name="conv_out", **tc)(x, frame_id)
+        x = TimeConv(self.out_channels * p, 3, groups=p,
+                     name="conv_out", **tc)(x, frame_id)
         return x
 
 
@@ -338,6 +413,7 @@ class Tensorial2D(nn.Module):
     noise_res: int = 20
     n_frames: int = 0
     strategy: str = "none"
+    n_packs: int = 1   # channel-pack: n_packs independent planes in one net
 
     @nn.compact
     def __call__(self, frame_id=None):
@@ -345,9 +421,11 @@ class Tensorial2D(nn.Module):
             "buffers", "noise",
             lambda: jax.random.normal(
                 self.make_rng("params"),
-                (1, self.noise_res, self.noise_res, self.noise_ch)),
+                (1, self.noise_res, self.noise_res,
+                 self.n_packs * self.noise_ch)),
         )
         net = TimeVAEDecoder(
             in_channels=self.noise_ch, out_channels=self.out_ch,
-            n_frames=self.n_frames, strategy=self.strategy, name="net")
-        return net(noise.value, frame_id)  # [1, 8r, 8r, out_ch]
+            n_frames=self.n_frames, strategy=self.strategy,
+            n_packs=self.n_packs, name="net")
+        return net(noise.value, frame_id)  # [1, 8r, 8r, n_packs*out_ch]

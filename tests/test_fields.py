@@ -69,11 +69,84 @@ class TestResFieldLinear:
         assert y.shape == (6, 3)
         assert np.isfinite(np.asarray(y)).all()
 
-    def test_unsupported_compression_raises(self):
+    def test_unknown_compression_raises(self):
         m = ResFieldLinear(in_features=4, out_features=3, rank=2, capacity=5,
-                           compression="tucker")
+                           compression="bogus")
         with pytest.raises(NotImplementedError):
             m.init(jax.random.PRNGKey(0), jnp.ones((2, 4)))
+
+    def test_cp_matches_numpy_oracle(self):
+        """cp: delta stack = tensorly cp_to_tensor((lin_w, [f1,f2,f3]))
+        (reference resfields.py:345-349) = sum_r w_r f1[:,r] (x) f2[:,r]
+        (x) f3[:,r]; tensorly is absent here so oracle it in NumPy."""
+        fin, fout, rank, cap, n = 6, 5, 3, 4, 9
+        m = ResFieldLinear(in_features=fin, out_features=fout, rank=rank,
+                           capacity=cap, compression="cp")
+        x = jnp.asarray(np.random.RandomState(0).randn(n, fin),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(7), x, frame_id=0)
+        p = jax.tree.map(np.asarray, v["params"])
+        frame = 2
+        y = np.asarray(m.apply(v, x, frame_id=jnp.asarray(frame)))
+        delta_oi = np.einsum(
+            "r,r,or,ir->oi", p["lin_w"], p["lin_f1"][frame],
+            p["lin_f2"], p["lin_f3"])  # [out, in]
+        w_eff = p["weight"] + delta_oi.T  # [in, out]
+        expect = np.asarray(x) @ w_eff + p["bias"]
+        np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-5)
+
+    def test_tucker_matches_numpy_oracle(self):
+        """tucker: delta stack = core x0 f0 x1 f1 x2 f2 (reference
+        resfields.py:350-354), frame row selected."""
+        fin, fout, rank, cap, n = 6, 5, 3, 4, 9
+        m = ResFieldLinear(in_features=fin, out_features=fout, rank=rank,
+                           capacity=cap, compression="tucker")
+        x = jnp.asarray(np.random.RandomState(1).randn(n, fin),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(8), x, frame_id=0)
+        p = jax.tree.map(np.asarray, v["params"])
+        frame = 3
+        y = np.asarray(m.apply(v, x, frame_id=jnp.asarray(frame)))
+        delta_coi = np.einsum(
+            "xyz,cx,oy,iz->coi", p["tucker_core"], p["tucker_f0"],
+            p["tucker_f1"], p["tucker_f2"])  # [cap, out, in]
+        w_eff = p["weight"] + delta_coi[frame].T
+        expect = np.asarray(x) @ w_eff + p["bias"]
+        np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-5)
+
+    def test_resnet_routes_to_plain_linear(self):
+        """resnet registers its vec but the forward routes to the plain
+        linear (reference resfields.py:150-151,390-392)."""
+        m = ResFieldLinear(in_features=4, out_features=3, rank=2,
+                           capacity=5, compression="resnet")
+        x = jnp.ones((6, 4))
+        v = m.init(jax.random.PRNGKey(9), x, frame_id=1)
+        p = v["params"]
+        assert p["resnet_vec"].shape == (5, 3)
+        y = np.asarray(m.apply(v, x, frame_id=jnp.asarray(1)))
+        expect = np.asarray(x) @ np.asarray(p["weight"]) + \
+            np.asarray(p["bias"])
+        np.testing.assert_allclose(y, expect, rtol=1e-6, atol=1e-6)
+
+    def test_lora_ngp_smoke(self):
+        """lora_ngp: hash-grid coefficient/bases nets standing in for the
+        tinycudann pair (reference resfields.py:96-124,365-371); shape +
+        finite grads."""
+        m = ResFieldLinear(in_features=4, out_features=3, rank=2,
+                           capacity=5, compression="lora_ngp")
+        x = jnp.ones((6, 4))
+        coords = jnp.asarray(
+            np.random.RandomState(2).uniform(-1, 1, (6, 3)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(10), x, coordinates=coords)
+
+        def loss(params):
+            return jnp.sum(m.apply({"params": params}, x,
+                                   coordinates=coords) ** 2)
+
+        val, g = jax.value_and_grad(loss)(v["params"])
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(leaf)).all()
+                   for leaf in jax.tree.leaves(g))
 
 
 class TestGeneralMLP:
@@ -195,6 +268,79 @@ class TestDecoder:
         y = m.apply(v, None)
         assert y.shape == (1, 64, 64, 16)
         assert "noise" in v["buffers"]
+
+    @staticmethod
+    def _pack_params(packed_tpl, unpacked_list):
+        """Transplant N unpacked TimeVAEDecoder param trees into the
+        channel-packed layout: conv kernels/biases, GroupNorm scales and
+        frame deltas concat along the channel (last) axis; the attention's
+        block-diagonal projections stack per pack."""
+        res = {}
+        for k, v in packed_tpl.items():
+            if isinstance(v, dict):
+                res[k] = TestDecoder._pack_params(
+                    v, [u[k] for u in unpacked_list])
+            elif k.startswith("to_") and k.endswith("_kernel"):
+                res[k] = np.stack(
+                    [np.asarray(u[k[:-7]]["kernel"]) for u in unpacked_list])
+            elif k.startswith("to_") and k.endswith("_bias"):
+                res[k] = np.stack(
+                    [np.asarray(u[k[:-5]]["bias"]) for u in unpacked_list])
+            else:
+                res[k] = np.concatenate(
+                    [np.asarray(u[k]) for u in unpacked_list], axis=-1)
+        return res
+
+    @pytest.mark.parametrize("strategy,n_frames", [("none", 0),
+                                                   ("per_frame", 3)])
+    def test_packed_decoder_matches_unpacked(self, strategy, n_frames):
+        """n_packs=3 (SPLATFIELDS_PACKED_CNN lowering) is bit-for-bit the
+        same math as 3 independent decoders — grouped convs, scaled
+        GroupNorm groups, block-diagonal attention."""
+        arch = dict(in_channels=4, out_channels=6,
+                    block_out_channels=(8, 8, 8), norm_num_groups=4,
+                    strategy=strategy, n_frames=n_frames)
+        rng = np.random.RandomState(20)
+        subs = [TimeVAEDecoder(**arch) for _ in range(3)]
+        zs = [jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+              for _ in range(3)]
+        fid = jnp.asarray(1) if n_frames else None
+        vs = [m.init(jax.random.PRNGKey(30 + i), z, frame_id=fid)
+              for i, (m, z) in enumerate(zip(subs, zs))]
+        packed = TimeVAEDecoder(**arch, n_packs=3)
+        zp = jnp.concatenate(zs, axis=-1)
+        vp = packed.init(jax.random.PRNGKey(40), zp, frame_id=fid)
+        pp = self._pack_params(vp["params"], [v["params"] for v in vs])
+        yp = np.asarray(packed.apply({"params": pp}, zp, frame_id=fid))
+        for g in range(3):
+            yg = np.asarray(subs[g].apply(vs[g], zs[g], frame_id=fid))
+            np.testing.assert_allclose(
+                yp[..., g * 6:(g + 1) * 6], yg, rtol=2e-5, atol=2e-5)
+
+    def test_packed_encoder_knob(self, monkeypatch):
+        """SPLATFIELDS_PACKED_CNN=on: same shapes, precomputed-planes path
+        identical, finite grads."""
+        monkeypatch.setenv("SPLATFIELDS_PACKED_CNN", "on")
+        m = VarTriPlaneEncoder(noise_res=6)
+        pts = jnp.asarray(
+            np.random.RandomState(21).uniform(-1, 1, (5, 3)).astype(
+                np.float32))
+        v = m.init(jax.random.PRNGKey(22), pts)
+        assert "subs_packed" in v["params"]
+        y = m.apply(v, pts)
+        assert y.shape == (5, 48)
+        planes = m.apply(v, method=lambda mod: mod.planes(None))
+        assert planes.shape[0] == 3
+        y2 = m.apply(v, pts, planes=planes)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+
+        def loss(params):
+            return jnp.sum(m.apply({"params": params,
+                                    "buffers": v["buffers"]}, pts) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        assert all(np.isfinite(np.asarray(leaf)).all()
+                   for leaf in jax.tree.leaves(g))
 
 
 class TestEncoders:
