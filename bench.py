@@ -1,8 +1,8 @@
 """Benchmark: SplatFields training-step throughput on one chip.
 
-Workload: the BASELINE.json headline config — SplatFields field mode
-(VarTriPlaneEncoder CNN prior + 6 MLP heads) over 100k splats rendered at
-Blender 800x800, full forward + backward + both Adam updates per step.
+Default workload: the BASELINE.json headline config — SplatFields field
+mode (VarTriPlaneEncoder CNN prior + 6 MLP heads) over 100k splats rendered
+at Blender 800x800, full forward + backward + both Adam updates per step.
 
 Metric: rays/s/chip (pixels rendered per second through fwd+bwd).
 
@@ -11,10 +11,27 @@ CUDA pipeline's estimated step time for the same config (~80 ms/iter on the
 reference's single-GPU setup -> 8.0e6 rays/s at 640k rays/view). The repo
 publishes no numbers (BASELINE.md), so this denominator is an estimate
 recorded here for consistency across rounds.
+
+Variants (BASELINE.json configs 4/5; committed rows in BENCH_VARIANTS.md):
+
+- ``--num_views V``: V distinct same-fid views per step, matching the
+  reference's ``--all_training --num_views`` protocol
+  (``/root/reference/train.py:157-163``; Owlii trains with 5). The field
+  forward + CNN decode + Adam cost amortizes over V renders — in BOTH
+  frameworks (the reference computes its gaussian_dict once per iteration
+  too), so multi-view rays/s is protocol-realistic but its vs_baseline
+  uses the same 1-view denominator and overstates the ratio.
+- ``--variant owlii4d``: the Owlii 4D protocol model
+  (``/root/reference/run_owlii.sh:7``): n_frames=100, ResField
+  composition_rank=40 lookup on every MLP layer, offset FlowHead.
+- ``--variant ngp``: the NGP backbone (``/root/reference/scene/
+  ngpFields.py:15-84``): hash-grid encoder + heads, no CNN prior.
 """
 from __future__ import annotations
 
+import argparse
 import json
+import math
 import time
 
 import numpy as np
@@ -22,7 +39,36 @@ import numpy as np
 BASELINE_RAYS_S = 8.0e6
 
 
+def make_views(num_views, fov=0.8):
+    """Distinct orbit cameras (one per view). Distinct matrices + GT keep
+    XLA from CSE-ing identical per-view renders into one."""
+    from splatfields_tpu.utils import camera_math as cm
+    w2vs, fulls, camposs = [], [], []
+    proj = cm.get_projection_matrix(0.01, 100.0, fov, fov).T
+    for v in range(num_views):
+        th = 0.25 * v
+        c, s = math.cos(th), math.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([0.1 * v, 0, 4.0], np.float32)
+        w2v = cm.get_world2view(R, t).T
+        w2vs.append(w2v)
+        fulls.append((w2v @ proj).astype(np.float32))
+        camposs.append(np.linalg.inv(w2v.T)[:3, 3].astype(np.float32))
+    return (np.stack(w2vs), np.stack(fulls), np.stack(camposs),
+            math.tan(fov / 2))
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", choices=("field", "owlii4d", "ngp"),
+                    default="field")
+    ap.add_argument("--num_views", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--n_splats", type=int, default=100_000)
+    ap.add_argument("--res", type=int, default=800,
+                    help="render size (non-default values are smoke runs)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -34,47 +80,54 @@ def main():
     from splatfields_tpu.models import splats as splats_lib
     from splatfields_tpu.models.deform_model import DeformModel
 
-    width = height = 800
-    n = 100_000
+    width = height = args.res
+    n = args.n_splats
+    v = args.num_views
     rng = np.random.RandomState(0)
 
-    import math
-    from splatfields_tpu.utils import camera_math as cm
-    R = np.eye(3, dtype=np.float32)
-    t = np.array([0, 0, 4.0], np.float32)
-    w2v = cm.get_world2view(R, t).T
-    fov = 0.8
-    proj = cm.get_projection_matrix(0.01, 100.0, fov, fov).T
-    full = (w2v @ proj).astype(np.float32)
-    campos = np.linalg.inv(w2v.T)[:3, 3].astype(np.float32)
-    tanfov = math.tan(fov / 2)
+    w2vs, fulls, camposs, tanfov = make_views(v)
 
     pts = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
     cols = rng.rand(n, 3).astype(np.float32)
     params, stats = splats_lib.create_from_pcd(pts, cols, 0, capacity=n)
     splat_opt = splats_lib.adam_init(params)
 
-    hidden = cfg_lib.HiddenConfig(
-        encoder_type="VarTriPlaneEncoder", composition_rank=0, n_frames=0)
+    if args.variant == "owlii4d":
+        # run_owlii.sh: VarTriPlane + rank-40 ResField lookup on every MLP
+        # layer, 100 frames, offset flow (layer_strategy 'none' upstream
+        # default, arguments/__init__.py:109)
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type="VarTriPlaneEncoder", composition_rank=40,
+            n_frames=100, flow_model="offset")
+        n_frames = 100
+    elif args.variant == "ngp":
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type="NGPMLP", composition_rank=0, n_frames=0)
+        n_frames = 0
+    else:
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type="VarTriPlaneEncoder", composition_rank=0, n_frames=0)
+        n_frames = 0
     deform = DeformModel(hidden, radius=1.0)
     opt_cfg = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_norm=0.01)
-    pipe_cfg = cfg_lib.PipelineConfig(tile_size=16, tile_cap=1024, k_chunk=128)
+    pipe_cfg = cfg_lib.PipelineConfig(tile_size=16, tile_cap=1024,
+                                      k_chunk=128)
 
     step = train_lib.make_train_step(
-        deform.net, opt_cfg, pipe_cfg, width, height, num_views=1,
-        field_mode=True, n_frames=0, sh_degree=0)
+        deform.net, opt_cfg, pipe_cfg, width, height, num_views=v,
+        field_mode=True, n_frames=n_frames, sh_degree=0)
 
     batch = {
-        "viewmatrix": jnp.asarray(w2v)[None],
-        "projmatrix": jnp.asarray(full)[None],
-        "campos": jnp.asarray(campos)[None],
-        "tanfovx": jnp.full((1,), tanfov, jnp.float32),
-        "tanfovy": jnp.full((1,), tanfov, jnp.float32),
-        "fid": jnp.zeros((), jnp.float32),
+        "viewmatrix": jnp.asarray(w2vs),
+        "projmatrix": jnp.asarray(fulls),
+        "campos": jnp.asarray(camposs),
+        "tanfovx": jnp.full((v,), tanfov, jnp.float32),
+        "tanfovy": jnp.full((v,), tanfov, jnp.float32),
+        "fid": jnp.asarray(0.37, jnp.float32),
         "image": jnp.asarray(
-            rng.rand(1, 3, height, width).astype(np.float32)),
-        "mask": jnp.zeros((1, 1, 1, 1), jnp.float32),
-        "depth": jnp.zeros((1, 1, 1), jnp.float32),
+            rng.rand(v, 3, height, width).astype(np.float32)),
+        "mask": jnp.zeros((v, 1, 1, 1), jnp.float32),
+        "depth": jnp.zeros((v, 1, 1), jnp.float32),
         "bg": jnp.ones(3, jnp.float32),
     }
     lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
@@ -89,18 +142,17 @@ def main():
     fv = dict(fv, params=fp)
     jax.block_until_ready(res.loss)
 
-    iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(args.iters):
         params, stats, splat_opt, fp, fo, res, key = step(
             params, stats, splat_opt, fv, fo, batch, lrs,
             jnp.asarray(1e-3, jnp.float32), key)
         fv = dict(fv, params=fp)
     jax.block_until_ready(res.loss)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / args.iters
 
-    rays_s = width * height / dt
-    print(json.dumps({
+    rays_s = v * width * height / dt
+    rec = {
         "metric": "rays_per_sec_fwd_bwd",
         "value": round(rays_s, 1),
         "unit": "rays/s/chip",
@@ -109,7 +161,11 @@ def main():
         "n_splats": n,
         "resolution": f"{width}x{height}",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if args.variant != "field" or v != 1:
+        rec["variant"] = args.variant
+        rec["num_views"] = v
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -79,6 +79,12 @@ def main():
     ap.add_argument("--no-artifact", action="store_true",
                     help="print the result without touching "
                          "quality_gate.json (for seed-spread probes)")
+    ap.add_argument("--variant", choices=("field", "owlii4d"),
+                    default="field",
+                    help="owlii4d: dynamic scene (rigidly rotating cloud "
+                         "over n_frames times), 4D model (ResField rank-40 "
+                         "lookup + offset flow, run_owlii.sh shape); gate "
+                         "artifact quality_gate_4d.json")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() != "cpu"
@@ -86,6 +92,7 @@ def main():
     n_true = 3000 if on_tpu else 256
     n_splats = 20_000 if on_tpu else 512
     iters = args.iters if on_tpu else 5
+    n_frames = 6 if args.variant == "owlii4d" else 0
 
     from splatfields_tpu import config as cfg_lib
     from splatfields_tpu import train_lib
@@ -109,6 +116,22 @@ def main():
     bg = np.zeros(3, np.float32)
 
     n_views = 10
+    # owlii4d: view v observes the scene at time t_v (a rigid rotation +
+    # bob of the same cloud) — a dynamic reconstruction problem the static
+    # field cannot fit, exercising ResField deltas + flow end-to-end.
+    fids = [(v % n_frames) / (n_frames - 1) if n_frames else 0.0
+            for v in range(n_views)]
+
+    def pts_at(t):
+        if not n_frames:
+            return pts
+        th = 0.5 * t
+        c, s = math.cos(th), math.sin(th)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        off = np.array([0.0, 0.15 * math.sin(2 * math.pi * t), 0.0],
+                       np.float32)
+        return pts @ R.T + off
+
     cams, gts = [], []
     for v in range(n_views):
         az = 2 * math.pi * v / n_views
@@ -116,7 +139,8 @@ def main():
         w2v, full, campos = _orbit_camera(az, el, 4.0, fov, width, height)
         cams.append((w2v, full, campos))
         out = rasterize(
-            jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(rots),
+            jnp.asarray(pts_at(fids[v])), jnp.asarray(scales),
+            jnp.asarray(rots),
             jnp.asarray(opac), jnp.asarray(w2v), jnp.asarray(full),
             jnp.asarray(campos), jnp.asarray(bg), tanfov, tanfov,
             width, height, colors_precomp=jnp.asarray(cols),
@@ -130,8 +154,14 @@ def main():
     params, stats = splats_lib.create_from_pcd(
         pts0, np.abs(pts0), 0, capacity=n_splats)
     splat_opt = splats_lib.adam_init(params)
-    hidden = cfg_lib.HiddenConfig(
-        encoder_type="VarTriPlaneEncoder", composition_rank=0, n_frames=0)
+    if args.variant == "owlii4d":
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type="VarTriPlaneEncoder", composition_rank=40,
+            n_frames=n_frames, flow_model="offset")
+    else:
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type="VarTriPlaneEncoder", composition_rank=0,
+            n_frames=0)
     if not on_tpu:
         hidden.encoder_args = {"noise_res": 4}
     deform = DeformModel(hidden, radius=1.0)
@@ -140,7 +170,7 @@ def main():
         tile_size=16, tile_cap=1024 if on_tpu else 256, k_chunk=128)
     step = train_lib.make_train_step(
         deform.net, opt_cfg, pipe_cfg, width, height, num_views=1,
-        field_mode=True, n_frames=0, sh_degree=0)
+        field_mode=True, n_frames=n_frames, sh_degree=0)
     lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
     key = jax.random.PRNGKey(0)
     fv = deform.variables
@@ -154,7 +184,7 @@ def main():
             "campos": jnp.asarray(campos)[None],
             "tanfovx": jnp.full((1,), tanfov, jnp.float32),
             "tanfovy": jnp.full((1,), tanfov, jnp.float32),
-            "fid": jnp.zeros((), jnp.float32),
+            "fid": jnp.asarray(fids[v], jnp.float32),
             "image": jnp.asarray(gts[v])[None],
             "mask": jnp.zeros((1, 1, 1, 1), jnp.float32),
             "depth": jnp.zeros((1, 1, 1), jnp.float32),
@@ -181,16 +211,19 @@ def main():
             params, stats.valid, fv,
             jnp.asarray(w2v), jnp.asarray(full), jnp.asarray(campos),
             jnp.asarray(tanfov, jnp.float32), jnp.asarray(tanfov, jnp.float32),
-            jnp.asarray(bg), jnp.zeros((), jnp.float32),
+            jnp.asarray(bg), jnp.asarray(fids[v], jnp.float32),
             net=deform.net, width=width, height=height, sh_degree=0,
-            field_mode=True, n_frames=0, tile_size=pipe_cfg.tile_size,
+            field_mode=True, n_frames=n_frames, tile_size=pipe_cfg.tile_size,
             tile_cap=pipe_cfg.tile_cap, k_chunk=pipe_cfg.k_chunk,
             dup_factor=pipe_cfg.dup_factor)
         img = jnp.clip(out.color, 0.0, 1.0)
         psnrs.append(float(psnr_fn(img, jnp.clip(jnp.asarray(gts[v]), 0, 1))))
     psnr = float(np.mean(psnrs))
 
+    gate_path = (GATE_PATH.replace(".json", "_4d.json")
+                 if args.variant == "owlii4d" else GATE_PATH)
     result = {
+        "variant": args.variant,
         "psnr_db": round(psnr, 3),
         "per_view": [round(p, 3) for p in psnrs],
         "final_loss": round(final_loss, 5),
@@ -211,14 +244,14 @@ def main():
         return 0
 
     baseline = None
-    if os.path.exists(GATE_PATH):
-        with open(GATE_PATH) as f:
+    if os.path.exists(gate_path):
+        with open(gate_path) as f:
             baseline = json.load(f).get("baseline_psnr_db")
     if args.set_baseline or baseline is None:
         artifact = {"baseline_psnr_db": result["psnr_db"],
                     "epsilon_db": EPSILON_DB, "latest": result,
                     "pass": True}
-        with open(GATE_PATH, "w") as f:
+        with open(gate_path, "w") as f:
             json.dump(artifact, f, indent=2)
         print(json.dumps(artifact))
         return 0
@@ -226,7 +259,7 @@ def main():
     ok = psnr >= baseline - EPSILON_DB
     artifact = {"baseline_psnr_db": baseline, "epsilon_db": EPSILON_DB,
                 "latest": result, "pass": bool(ok)}
-    with open(GATE_PATH, "w") as f:
+    with open(gate_path, "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps(artifact))
     return 0 if ok else 1

@@ -120,7 +120,10 @@ def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
         # positive sublane-aligned chunk; a stray k would silently misalign.
         raise ValueError(
             f"sorted_segment_sum: k={k} must be a positive multiple of 8")
-    if n_rows >= 1 << 24:
+    if n_rows > 1 << 24:
+        # ids <= n_rows - 1 <= 2^24 - 1 ride a float lane exactly (every
+        # int up to 2^24 is f32-exact); the NGP flat table is exactly
+        # 16 * 2^20 = 2^24 rows.
         raise ValueError(
             f"sorted_segment_sum: n_rows={n_rows} exceeds the float-coded "
             "row-id range (2^24); use the XLA scatter for tables this big")

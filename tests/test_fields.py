@@ -372,6 +372,26 @@ class TestEncoders:
         y2 = m.apply(v, pts + 1e-5)
         assert np.abs(np.asarray(y) - np.asarray(y2)).max() < 1e-3
 
+    def test_hashgrid_sorted_grad_matches_scatter(self, monkeypatch):
+        """SPLATFIELDS_NGP_SORTED_GRAD: the sort + Pallas segment-sum
+        table VJP equals the XLA scatter VJP (small table, interpret-mode
+        kernel on CPU)."""
+        enc = HashGridEncoder(n_levels=2, log2_hashmap_size=10)
+        pts = jnp.asarray(
+            np.random.RandomState(31).rand(50, 3).astype(np.float32))
+        monkeypatch.setenv("SPLATFIELDS_NGP_SORTED_GRAD", "off")
+        v = enc.init(jax.random.PRNGKey(31), pts)
+
+        def loss(params):
+            return jnp.sum(jnp.tanh(enc.apply({"params": params}, pts)))
+
+        g_scatter = jax.grad(loss)(v["params"])
+        monkeypatch.setenv("SPLATFIELDS_NGP_SORTED_GRAD", "on")
+        g_sorted = jax.grad(loss)(v["params"])
+        np.testing.assert_allclose(
+            np.asarray(g_sorted["table"]), np.asarray(g_scatter["table"]),
+            rtol=1e-5, atol=1e-6)
+
     def test_ngp_mlp(self):
         m = NGPMLP(out_features=16, n_levels=4, log2_hashmap_size=10)
         pts = jnp.asarray(np.random.RandomState(15).uniform(-1, 1, (7, 3)).astype(np.float32))
