@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--n_splats", type=int, default=100_000)
     ap.add_argument("--res", type=int, default=800,
                     help="render size (non-default values are smoke runs)")
+    ap.add_argument("--render_only", action="store_true",
+                    help="serving benchmark: the production render path "
+                         "(render_lib._render_jit) fwd-only, no losses/"
+                         "grads/Adam; chained camera perturbation forces "
+                         "sequential execution (CLAUDE.md pitfalls)")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +117,55 @@ def main():
     opt_cfg = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_norm=0.01)
     pipe_cfg = cfg_lib.PipelineConfig(tile_size=16, tile_cap=1024,
                                       k_chunk=128)
+
+    if args.render_only:
+        import functools
+        from splatfields_tpu.render_lib import _render_jit
+        render = functools.partial(
+            _render_jit, net=deform.net, width=width, height=height,
+            sh_degree=0, field_mode=True, n_frames=n_frames,
+            tile_size=pipe_cfg.tile_size, tile_cap=pipe_cfg.tile_cap,
+            k_chunk=pipe_cfg.k_chunk, dup_factor=pipe_cfg.dup_factor)
+        fv = deform.variables
+        stats_valid = stats.valid
+        w2v0, full0, campos0 = w2vs[0], fulls[0], camposs[0]
+        tf = jnp.asarray(tanfov, jnp.float32)
+        bg = jnp.ones(3, jnp.float32)
+        fid = jnp.asarray(0.37, jnp.float32)
+
+        w2vj, fullj, camposj = (jnp.asarray(w2v0), jnp.asarray(full0),
+                                jnp.asarray(campos0))
+
+        @jax.jit
+        def one(carry):
+            # ONE dispatch per frame (each relay round-trip costs ms);
+            # carry perturbs the camera position -> next render depends on
+            # the previous one (no dispatch-ahead mirage), and nothing is
+            # loop-invariant across calls
+            campos = camposj + 1e-9 * carry
+            out = render(params, stats_valid, fv, w2vj, fullj, campos,
+                         tf, tf, bg, fid)
+            return jnp.full((3,), jnp.sum(out.color) * 1e-6, jnp.float32)
+
+        carry = one(jnp.zeros(3, jnp.float32))
+        _ = float(carry[0])  # compile + materialize
+        t0 = time.perf_counter()
+        for _i in range(args.iters):
+            carry = one(carry)
+        _ = float(carry[0])
+        dt = (time.perf_counter() - t0) / args.iters
+        rays_s = width * height / dt
+        print(json.dumps({
+            "metric": "render_rays_per_sec",
+            "value": round(rays_s, 1),
+            "unit": "rays/s/chip",
+            "step_ms": round(dt * 1000, 2),
+            "n_splats": n,
+            "resolution": f"{width}x{height}",
+            "variant": args.variant,
+            "device": str(jax.devices()[0]),
+        }))
+        return
 
     step = train_lib.make_train_step(
         deform.net, opt_cfg, pipe_cfg, width, height, num_views=v,

@@ -53,15 +53,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_R = 128   # output rows per grid step (one lane tile of the mask matmul)
+_R = 128   # default output rows per grid step (one lane tile of the mask
+           # matmul); pass r_block > 128 (a multiple of 128) to amortize
+           # the per-grid-step overhead over several lane tiles when the
+           # output is huge and sparsely hit (the NGP table: 2^20 rows
+           # per level, ~0.8 updates/row -> 8192 128-row blocks at ~1.5us
+           # of sequencing each dominates the actual math)
 
 
 def _seg_kernel(bounds_ref, packed_hbm, out_ref, chunk_vmem, sem, *,
-                k: int, d: int):
+                k: int, d: int, r_block: int):
     b = pl.program_id(0)
     start = bounds_ref[b]
     end = bounds_ref[b + 1]
-    base_row = b * _R
+    base_row = b * r_block
     # sublane-align the DMA offset; the extra leading slots belong to the
     # previous block (rel-row < 0) and self-mask out
     start8 = (start // 8) * 8
@@ -87,7 +92,7 @@ def _seg_kernel(bounds_ref, packed_hbm, out_ref, chunk_vmem, sem, *,
         chunk = chunk_vmem[slot]
         rows = chunk[:, d:d + 1]                             # [K, 1] float id
         col = jax.lax.broadcasted_iota(
-            jnp.int32, (k, _R), 1).astype(jnp.float32)
+            jnp.int32, (k, r_block), 1).astype(jnp.float32)
         m = (rows - jnp.float32(base_row) == col).astype(
             jnp.float32)                                     # [K, R]
         part = jax.lax.dot_general(
@@ -97,13 +102,14 @@ def _seg_kernel(bounds_ref, packed_hbm, out_ref, chunk_vmem, sem, *,
         return acc + part
 
     out_ref[:] = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((_R, d), jnp.float32))
+        0, n_chunks, body, jnp.zeros((r_block, d), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_rows", "k", "interpret",
+                                              "r_block"))
 def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
-                       k: int = 512, interpret: bool | None = None
-                       ) -> jnp.ndarray:
+                       k: int = 512, interpret: bool | None = None,
+                       r_block: int = _R) -> jnp.ndarray:
     """Sum ``vals`` rows into ``n_rows`` segments given SORTED ``sidx``.
 
     Args:
@@ -115,6 +121,10 @@ def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
     Returns [n_rows, D] float32 segment sums.
     """
     n, d = vals.shape
+    if r_block <= 0 or r_block % 128:
+        raise ValueError(
+            f"sorted_segment_sum: r_block={r_block} must be a positive "
+            "multiple of 128 (lane tiles)")
     if k <= 0 or k % 8:
         # The kernel's dynamic DMA slices and the k+8 overrun pad assume a
         # positive sublane-aligned chunk; a stray k would silently misalign.
@@ -129,7 +139,7 @@ def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
             "row-id range (2^24); use the XLA scatter for tables this big")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    rows_pad = -(-n_rows // _R) * _R
+    rows_pad = -(-n_rows // r_block) * r_block
     lp = -(-(d + 1) // 128) * 128
     lane_id = sidx.astype(jnp.float32)[:, None]
     packed = jnp.concatenate(
@@ -140,16 +150,16 @@ def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
     pad = jnp.zeros((k + 8, lp), jnp.float32).at[:, d].set(-1.0)
     packed = jnp.concatenate([packed, pad], axis=0)
 
-    n_blocks = rows_pad // _R
+    n_blocks = rows_pad // r_block
     bounds = jnp.searchsorted(
-        sidx, jnp.arange(n_blocks + 1, dtype=jnp.int32) * _R,
+        sidx, jnp.arange(n_blocks + 1, dtype=jnp.int32) * r_block,
         side="left").astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_R, d), lambda b, *_: (b, 0),
+        out_specs=pl.BlockSpec((r_block, d), lambda b, *_: (b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, k, lp), jnp.float32),
@@ -157,7 +167,7 @@ def sorted_segment_sum(sidx: jnp.ndarray, vals: jnp.ndarray, n_rows: int,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_seg_kernel, k=k, d=d),
+        functools.partial(_seg_kernel, k=k, d=d, r_block=r_block),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows_pad, d), jnp.float32),
         interpret=interpret,

@@ -25,17 +25,18 @@ def _scatter_ref(sidx, vals, n_rows):
 
 
 class TestSortedSegmentSum:
-    @pytest.mark.parametrize("n,n_rows,d,k", [
-        (1000, 256, 64, 128),     # several blocks, several chunks
-        (700, 384, 20, 256),      # non-128 feature width, ragged N
-        (50, 1024, 64, 128),      # mostly-empty rows
+    @pytest.mark.parametrize("n,n_rows,d,k,r_block", [
+        (1000, 256, 64, 128, 128),   # several blocks, several chunks
+        (700, 384, 20, 256, 128),    # non-128 feature width, ragged N
+        (50, 1024, 64, 128, 128),    # mostly-empty rows
+        (900, 700, 2, 512, 256),     # wide output block (NGP shape), d=2
     ])
-    def test_matches_scatter(self, n, n_rows, d, k):
+    def test_matches_scatter(self, n, n_rows, d, k, r_block):
         rng = np.random.RandomState(3 + n)
         sidx = np.sort(rng.randint(0, n_rows, n)).astype(np.int32)
         vals = rng.randn(n, d).astype(np.float32)
         out = sorted_segment_sum(jnp.asarray(sidx), jnp.asarray(vals),
-                                 n_rows, k=k)
+                                 n_rows, k=k, r_block=r_block)
         np.testing.assert_allclose(np.asarray(out),
                                    _scatter_ref(sidx, vals, n_rows),
                                    rtol=1e-5, atol=1e-5)
