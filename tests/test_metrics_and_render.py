@@ -113,7 +113,7 @@ class TestShardedStep:
     V = 2
 
     @classmethod
-    def _setup(cls, field_mode=True, sh_degree=0):
+    def _setup(cls, field_mode=True, sh_degree=0, n_frames=0):
         import jax.numpy as jnp
         from splatfields_tpu import config as cfg_lib
         from splatfields_tpu.models import splats as splats_lib
@@ -128,7 +128,9 @@ class TestShardedStep:
         deform = None
         if field_mode:
             hidden = cfg_lib.HiddenConfig(
-                encoder_type="none", composition_rank=0, n_frames=0)
+                encoder_type="none",
+                composition_rank=4 if n_frames else 0,
+                n_frames=n_frames, flow_model="offset")
             deform = DeformModel(hidden, radius=1.0)
         opt_cfg = cfg_lib.OptimizationConfig(
             lambda_mask=0.1, lambda_norm=0.01)
@@ -150,7 +152,7 @@ class TestShardedStep:
             "campos": jnp.asarray(np.stack([c[2] for c in cams])),
             "tanfovx": jnp.full((cls.V,), s["tanfov"], jnp.float32),
             "tanfovy": jnp.full((cls.V,), s["tanfov"], jnp.float32),
-            "fid": jnp.zeros((), jnp.float32),
+            "fid": jnp.asarray(0.4 if n_frames else 0.0, jnp.float32),
             "image": jnp.asarray(
                 rng.rand(cls.V, 3, cls.H, cls.W).astype(np.float32)),
             "mask": jnp.asarray(
@@ -165,7 +167,7 @@ class TestShardedStep:
         import jax.numpy as jnp
         return jax.tree.map(lambda a: jnp.array(np.asarray(a)), tree)
 
-    def _run_single(self, setup, field_mode, sh_degree):
+    def _run_single(self, setup, field_mode, sh_degree, n_frames=0):
         import jax
         import jax.numpy as jnp
         from splatfields_tpu import train_lib
@@ -176,7 +178,7 @@ class TestShardedStep:
         net = deform.net if deform else None
         step = train_lib.make_train_step(
             net, opt_cfg, pipe_cfg, self.W, self.H, num_views=self.V,
-            field_mode=field_mode, n_frames=0, sh_degree=sh_degree)
+            field_mode=field_mode, n_frames=n_frames, sh_degree=sh_degree)
         lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
         fv = self._clone(deform.variables if deform else {"params": {}})
         fo = self._clone(deform.opt_state if deform
@@ -186,7 +188,7 @@ class TestShardedStep:
                     jnp.asarray(1e-3, jnp.float32), jax.random.PRNGKey(0))
 
     def _run_sharded(self, setup, field_mode, sh_degree, n_dev, data,
-                     ring=False):
+                     ring=False, n_frames=0):
         import jax.numpy as jnp
         from splatfields_tpu.models import splats as splats_lib
         from splatfields_tpu.parallel.mesh import make_mesh
@@ -200,7 +202,7 @@ class TestShardedStep:
         step = make_sharded_train_step(
             net, opt_cfg, pipe_cfg, self.W, self.H,
             views_per_shard=self.V // data, field_mode=field_mode,
-            n_frames=0, mesh=mesh, sh_degree=sh_degree, ring=ring,
+            n_frames=n_frames, mesh=mesh, sh_degree=sh_degree, ring=ring,
             batch_keys=tuple(batch.keys()))
         lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
         fv = self._clone(deform.variables if deform else {"params": {}})
@@ -220,6 +222,19 @@ class TestShardedStep:
             np.testing.assert_allclose(
                 np.asarray(pa), np.asarray(pb), atol=atol, rtol=1e-4,
                 err_msg=what)
+
+    def test_field_mode_4d_sharded_matches_single(self):
+        """BASELINE config 4 shape on-mesh: n_frames>0 (ResField deltas +
+        offset flow + time embeds) through the sharded step, data=2 x
+        model=4, must equal the single-device step."""
+        setup = self._setup(field_mode=True, n_frames=4)
+        sp1, st1, so1, fp1, fo1, out1, _ = self._run_single(
+            setup, True, 0, n_frames=4)
+        sp8, st8, so8, fp8, fo8, out8 = self._run_sharded(
+            setup, True, 0, n_dev=8, data=2, n_frames=4)
+        assert abs(float(out1.loss) - float(out8.loss)) < 1e-4
+        self._tree_close(fp1, fp8, 2e-5, "field params (4D)")
+        self._tree_close(sp1, sp8, 2e-5, "splat params (4D)")
 
     def test_field_mode_model_sharded_matches_single(self):
         """data=1 x model=8: everything incl. stats must match 1-dev."""
