@@ -119,6 +119,11 @@ def main():
                                       k_chunk=128)
 
     if args.render_only:
+        if v != 1:
+            raise SystemExit(
+                "--render_only measures per-frame serving latency and "
+                "always renders one view; --num_views applies to the "
+                "train-step benchmark only")
         import functools
         from splatfields_tpu.render_lib import _render_jit
         render = functools.partial(

@@ -79,12 +79,14 @@ def main():
     ap.add_argument("--no-artifact", action="store_true",
                     help="print the result without touching "
                          "quality_gate.json (for seed-spread probes)")
-    ap.add_argument("--variant", choices=("field", "owlii4d"),
+    ap.add_argument("--variant", choices=("field", "owlii4d", "ngp"),
                     default="field",
                     help="owlii4d: dynamic scene (rigidly rotating cloud "
                          "over n_frames times), 4D model (ResField rank-40 "
                          "lookup + offset flow, run_owlii.sh shape); gate "
-                         "artifact quality_gate_4d.json")
+                         "artifact quality_gate_4d.json. ngp: static scene, "
+                         "HashGrid+MLP backbone (scene/ngpFields.py); gate "
+                         "artifact quality_gate_ngp.json")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() != "cpu"
@@ -158,11 +160,14 @@ def main():
         hidden = cfg_lib.HiddenConfig(
             encoder_type="VarTriPlaneEncoder", composition_rank=40,
             n_frames=n_frames, flow_model="offset")
+    elif args.variant == "ngp":
+        hidden = cfg_lib.HiddenConfig(
+            encoder_type="NGPMLP", composition_rank=0, n_frames=0)
     else:
         hidden = cfg_lib.HiddenConfig(
             encoder_type="VarTriPlaneEncoder", composition_rank=0,
             n_frames=0)
-    if not on_tpu:
+    if not on_tpu and args.variant != "ngp":
         hidden.encoder_args = {"noise_res": 4}
     deform = DeformModel(hidden, radius=1.0)
     opt_cfg = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_norm=0.01)
@@ -220,8 +225,11 @@ def main():
         psnrs.append(float(psnr_fn(img, jnp.clip(jnp.asarray(gts[v]), 0, 1))))
     psnr = float(np.mean(psnrs))
 
-    gate_path = (GATE_PATH.replace(".json", "_4d.json")
-                 if args.variant == "owlii4d" else GATE_PATH)
+    gate_path = GATE_PATH
+    if args.variant == "owlii4d":
+        gate_path = GATE_PATH.replace(".json", "_4d.json")
+    elif args.variant == "ngp":
+        gate_path = GATE_PATH.replace(".json", "_ngp.json")
     result = {
         "variant": args.variant,
         "psnr_db": round(psnr, 3),

@@ -11,9 +11,11 @@ capacity frames every call and then indexes one (``resfields.py:222-239,
 293-300``) — we contract only the requested frame's coefficient row with
 ``matrix_t``: one [R] x [R, F_out*F_in] matvec on the MXU, identical math.
 The same one-frame contraction shape is used for every zoo member below
-(vm_cum_mat's selu-cumsum becomes a masked [C] x [C, numel] matvec, cp/
-tucker contract their frame factor row first), so no compression ever
-materializes a [capacity, F_out*F_in] tensor inside the train step.
+where the math allows it (cp/tucker contract their frame factor row
+first). Exception: ``vm_cum_mat`` applies selu BETWEEN the rank
+contraction and the frame sum, so its [capacity, F_out*F_in] product
+must materialize — the masked matvec only replaces the cumsum-then-index
+(upstream additionally materializes the full cumsum, :251-256).
 
 Implemented compressions (the full reference zoo, ``resfields.py:40``):
 ``vm`` (modes lookup / interpolation / interpolation_siren, plus the
@@ -33,6 +35,12 @@ chunked variant via ``chunk_size``/``chunk_strategy``), ``vm_cum``,
   nets (``resfields.py:96-124``); we use the same-config native
   HashGridEncoder + 64-wide ReLU MLP (models/encoders.py). Documented
   equivalent — weight transplant is impossible (tcnn hash layout).
+  Upstream also sizes BOTH nets' outputs as ``weight.shape[1]`` (F_in),
+  so its ``bases`` is F_in-wide and ``shared_output + output`` crashes
+  whenever F_in != F_out (``resfields.py:114-124,364-371``) — square
+  layers only. We give ``ngp_bases`` ``out_features`` (the evident
+  intent; identical to upstream on the square layers that upstream can
+  actually run).
 - ``chunk_weights`` init: upstream copies ``0.01*weight`` (the SAME draw
   as the base weight, ``resfields.py:68``); flax params init from
   independent keys, so we draw a fresh 0.01-scaled kaiming tensor.
