@@ -195,6 +195,27 @@ class TestFieldTraining:
                  progress_callback=lambda it, loss, p, s: losses.append(loss))
         assert np.isfinite(losses).all()
 
+    def test_field_mode_ngp_smoke(self, blender_scene, tmp_path):
+        """BASELINE config 5 through the train CLI: HashGrid+MLP backbone
+        (--encoder_type NGPMLP, reference scene/ngpFields.py)."""
+        from splatfields_tpu.train import training
+
+        args = base_args(
+            blender_scene, str(tmp_path / "run4n"),
+            ["--iterations", "8", "--encoder_type", "NGPMLP",
+             "--num_pts", "300"])
+        model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(args)
+        hidden_cfg.encoder_args = {
+            "n_levels": 4, "log2_hashmap_size": 10}  # CPU-sized table
+        opt_cfg.iterations = 8
+        opt_cfg.densify_from_iter = 10_000
+        losses = []
+        training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                 test_iterations=[], save_iterations=[], args=args,
+                 quiet=True,
+                 progress_callback=lambda it, loss, p, s: losses.append(loss))
+        assert np.isfinite(losses).all()
+
 
 class TestMeshTraining:
     def test_static_training_on_device_mesh(self, blender_scene, tmp_path):
