@@ -70,6 +70,44 @@ def knn_self(points: jnp.ndarray, k: int = 5, chunk: int = 1024):
     return dists[:n], idx[:n]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_points(queries: jnp.ndarray, points: jnp.ndarray, k: int = 8,
+               chunk: int = 1024):
+    """Exact K nearest ``points`` for each of ``queries`` (cross-set;
+    the pytorch3d ``knn_points`` shape of the problem).
+
+    Args:
+        queries: [M, 3] float32.
+        points: [N, 3] float32 reference set.
+        k: neighbor count.
+        chunk: query rows per distance block (peak memory: chunk*N floats).
+    Returns:
+        (dists, idx): [M, k] squared distances (ascending) and indices
+        into ``points``.
+    """
+    pts = points.astype(jnp.float32)
+    qs, m = _pad_rows(queries.astype(jnp.float32), chunk)
+    n = pts.shape[0]
+    sq = jnp.sum(pts * pts, axis=-1)
+
+    def body(i, carry):
+        dists, idx = carry
+        rows = jax.lax.dynamic_slice_in_dim(qs, i * chunk, chunk)
+        d = (jnp.sum(rows * rows, axis=-1)[:, None] + sq[None, :]
+             - 2.0 * (rows @ pts.T))
+        top_d, top_i = jax.lax.top_k(-d, k)
+        dists = jax.lax.dynamic_update_slice_in_dim(
+            dists, -top_d, i * chunk, 0)
+        idx = jax.lax.dynamic_update_slice_in_dim(idx, top_i, i * chunk, 0)
+        return dists, idx
+
+    n_chunks = qs.shape[0] // chunk
+    dists0 = jnp.zeros((qs.shape[0], k), jnp.float32)
+    idx0 = jnp.zeros((qs.shape[0], k), jnp.int32)
+    dists, idx = jax.lax.fori_loop(0, n_chunks, body, (dists0, idx0))
+    return jnp.maximum(dists[:m], 0.0), idx[:m]
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def mean_sq_dist_knn3(points: jnp.ndarray, chunk: int = 1024) -> jnp.ndarray:
     """Mean squared distance to the 3 nearest neighbors, clamped at 1e-7.

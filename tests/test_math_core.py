@@ -372,6 +372,18 @@ class TestKNN:
         got_d = np.take_along_axis(full, idx, axis=1)
         np.testing.assert_allclose(got_d, expect_d, rtol=1e-3, atol=1e-5)
 
+    def test_knn_points_cross_set_vs_numpy(self):
+        pts = rand(150, 3, seed=14)
+        qs = rand(77, 3, seed=15)
+        d, idx = knn_ops.knn_points(jnp.asarray(qs), jnp.asarray(pts),
+                                    k=4, chunk=32)
+        d, idx = np.asarray(d), np.asarray(idx)
+        full = ((qs[:, None] - pts[None]) ** 2).sum(-1)
+        expect_d = np.sort(full, axis=1)[:, :4]
+        np.testing.assert_allclose(d, expect_d, rtol=1e-3, atol=1e-5)
+        got_d = np.take_along_axis(full, idx, axis=1)
+        np.testing.assert_allclose(got_d, expect_d, rtol=1e-3, atol=1e-5)
+
     def test_mean_sq_dist_knn3_grid(self):
         # regular 1-spaced grid: 3 NNs are at distance 1 -> mean sq dist 1
         g = np.stack(np.meshgrid(np.arange(4), np.arange(4), np.arange(4)), -1)

@@ -320,6 +320,21 @@ class TestResumeAndRender:
         assert "moran_scale" in rep
         assert np.isfinite(list(rep.values())).all()
 
+        # mesh extraction (--mesh_resolution): density iso-surface via
+        # marching tetrahedra over the trained splats
+        from splatfields_tpu.extract_geo import splat_density_query
+        from splatfields_tpu.ops.marching import extract_geometry
+        valid = np.asarray(scene.splat_stats.valid)
+        xyz = np.asarray(scene.splats.xyz)[valid]
+        query = splat_density_query(scene.splats, scene.splat_stats,
+                                    None, 0)
+        verts, tris = extract_geometry(
+            xyz.min(0) - 0.1, xyz.max(0) + 0.1, 24, 0.3, query)
+        assert len(verts) > 0 and len(tris) > 0
+        assert np.isfinite(verts).all()
+        assert verts.min() >= xyz.min() - 0.11
+        assert verts.max() <= xyz.max() + 0.11
+
 
 @pytest.fixture(scope="module")
 def dynamic_scene(tmp_path_factory):
