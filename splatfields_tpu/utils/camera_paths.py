@@ -208,3 +208,40 @@ def pose_spherical(theta, phi, radius):
     swap = np.array([[-1, 0, 0, 0], [0, 0, 1, 0],
                      [0, 1, 0, 0], [0, 0, 0, 1]], np.float32)
     return (swap @ c2w).astype(np.float32)
+
+
+def render_wander_path(R, T, fovy, image_height, num_frames=60,
+                       max_disp=5000.0):
+    """Sideways 'wander' dolly around one reference view (reference
+    ``utils/pose_utils.py:67-99`` — defined upstream, reachable from no
+    entry point there; here exposed alongside the other render paths).
+
+    Args:
+        R: [3, 3] cam->world rotation (3DGS convention, as stored on
+            Camera.R); T: [3] world->cam translation; fovy: radians;
+            image_height: pixels.
+    Returns [num_frames, 4, 4] c2w-style poses in the reference's
+    OpenCV-flipped frame (columns 1/2 negated), matching upstream's
+    output convention byte-for-byte.
+    """
+    from splatfields_tpu.utils.camera_math import fov2focal
+    focal = fov2focal(fovy, image_height)
+    R = np.array(R, np.float64, copy=True)
+    R[:, 1] = -R[:, 1]
+    R[:, 2] = -R[:, 2]
+    pose = np.concatenate(
+        [R, -np.asarray(T, np.float64).reshape(3, 1)], axis=-1)
+    ref_pose = np.concatenate(
+        [pose, np.array([[0.0, 0.0, 0.0, 1.0]])], axis=0)
+
+    max_trans = max_disp / focal
+    out = []
+    for i in range(num_frames):
+        ang = 2.0 * np.pi * i / num_frames
+        trans = np.array([max_trans * np.sin(ang),
+                          max_trans * np.cos(ang) / 3.0,
+                          max_trans * np.cos(ang) / 3.0])
+        i_pose = np.eye(4)
+        i_pose[:3, 3] = trans
+        out.append((ref_pose @ np.linalg.inv(i_pose)).astype(np.float32))
+    return np.stack(out, axis=0)

@@ -443,3 +443,29 @@ class TestSplatFieldsNetParity:
 
     def test_dynamic_offset_flow(self):
         self._run(n_frames=4, rank=0, flow_model="offset")
+
+
+class TestWanderPathParity:
+    def test_matches_reference_exactly(self):
+        """render_wander_path vs /root/reference/utils/pose_utils.py:67-99
+        (defined upstream, reachable from no entry point there)."""
+        from utils import pose_utils as ref_pose
+        from splatfields_tpu.utils.camera_paths import render_wander_path
+
+        rng = np.random.RandomState(0)
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        t = rng.randn(3).astype(np.float32)
+
+        class V:
+            pass
+
+        v = V()
+        v.R = q.copy()      # the reference mutates view.R in place
+        v.T = t.copy()
+        v.FoVy = 0.9
+        v.image_height = 400
+        want = np.stack([p.numpy() for p in ref_pose.render_wander_path(v)])
+        got = render_wander_path(q.copy(), t.copy(), 0.9, 400)
+        np.testing.assert_array_equal(got, want)
