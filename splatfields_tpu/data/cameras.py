@@ -190,3 +190,38 @@ def stack_cameras(cams: list) -> dict:
         "tanfovy": np.array([c.tanfovy for c in cams], np.float32),
         "fid": np.array([c.fid for c in cams], np.float32),
     }
+
+
+@dataclasses.dataclass
+class MiniCam:
+    """Image-less render camera built from precomputed matrices — the
+    reference's viewer-side camera (``scene/cameras.py:164-175``), used
+    when only matrices exist (interactive orbit preview, custom paths).
+    Duck-types the ``Camera`` attributes the render path reads."""
+    image_width: int
+    image_height: int
+    FoVy: float
+    FoVx: float
+    znear: float
+    zfar: float
+    world_view_transform: np.ndarray   # [4,4], transposed W2V
+    full_proj_transform: np.ndarray    # [4,4]
+    camera_center: np.ndarray = None
+    fid: float = 0.0
+    image_name: str = "minicam"
+
+    def __post_init__(self):
+        if self.camera_center is None:
+            self.camera_center = np.linalg.inv(
+                np.asarray(self.world_view_transform).T)[:3, 3].astype(
+                    np.float32)
+
+    @property
+    def tanfovx(self) -> float:
+        import math
+        return math.tan(self.FoVx * 0.5)
+
+    @property
+    def tanfovy(self) -> float:
+        import math
+        return math.tan(self.FoVy * 0.5)

@@ -372,3 +372,40 @@ class TestShardedStep:
     def test_dryrun_4_devices(self):
         import __graft_entry__ as ge
         ge.dryrun_multichip(4)
+
+
+class TestMiniCam:
+    def test_minicam_renders_like_camera(self):
+        """MiniCam (matrices-only viewer camera, reference
+        scene/cameras.py:164-175) duck-types Camera through
+        render_camera: identical output for identical matrices."""
+        import jax.numpy as jnp
+        from splatfields_tpu import config as cfg_lib
+        from splatfields_tpu.data.cameras import Camera, MiniCam
+        from splatfields_tpu.models import splats as splats_lib
+        from splatfields_tpu.render_lib import render_camera
+        import __graft_entry__ as ge
+
+        s = ge._tiny_scene(n=64, width=24, height=24)
+        params, stats = splats_lib.create_from_pcd(
+            s["means"], np.abs(s["means"]), 0, capacity=64)
+        pipe_cfg = cfg_lib.PipelineConfig(tile_cap=64, k_chunk=32)
+        cam = Camera(uid=0, colmap_id=0,
+                     R=np.eye(3, dtype=np.float32),
+                     T=np.array([0, 0, 4.0], np.float32),
+                     FoVx=0.8, FoVy=0.8, image_name="t",
+                     image_width=24, image_height=24, fid=0.0)
+        mini = MiniCam(
+            image_width=24, image_height=24, FoVy=0.8, FoVx=0.8,
+            znear=0.01, zfar=100.0,
+            world_view_transform=cam.world_view_transform,
+            full_proj_transform=cam.full_proj_transform)
+        np.testing.assert_allclose(mini.camera_center, cam.camera_center,
+                                   atol=1e-6)
+        bg = jnp.zeros(3, jnp.float32)
+        a = render_camera(cam, params, stats, None, pipe_cfg, bg,
+                          field_mode=False)
+        b = render_camera(mini, params, stats, None, pipe_cfg, bg,
+                          field_mode=False)
+        np.testing.assert_array_equal(np.asarray(a["render"]),
+                                      np.asarray(b["render"]))
