@@ -32,6 +32,8 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
+import sys
 import time
 
 import numpy as np
@@ -67,6 +69,12 @@ def main():
     ap.add_argument("--n_splats", type=int, default=100_000)
     ap.add_argument("--res", type=int, default=800,
                     help="render size (non-default values are smoke runs)")
+    ap.add_argument("--scan_k", type=int, default=0,
+                    help="if > 0, run K train steps per dispatch via "
+                         "lax.scan (train_lib.make_scanned_train_step) — "
+                         "the relay-dispatch amortization A/B (VERDICT r4 "
+                         "item 4). Reported step_ms is per TRAIN STEP "
+                         "(dispatch time / K)")
     ap.add_argument("--render_only", action="store_true",
                     help="serving benchmark: the production render path "
                          "(render_lib._render_jit) fwd-only, no losses/"
@@ -77,8 +85,26 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from splatfields_tpu.utils.system import enable_persistent_compile_cache
+    from splatfields_tpu.utils.system import (
+        enable_persistent_compile_cache, probe_backend)
     enable_persistent_compile_cache()
+
+    # Bounded backend init: the axon relay outage of round 4 made
+    # jax.devices() hang >25 min then die with a raw traceback — emit one
+    # machine-readable JSON line instead so an environmental outage is
+    # distinguishable from a repo regression (VERDICT.md round 4, item 1).
+    devs, err = probe_backend(timeout_s=float(
+        os.environ.get("SPLATFIELDS_BACKEND_TIMEOUT", "240")))
+    if devs is None:
+        print(json.dumps({
+            "error": "tpu_backend_unavailable",
+            "environmental": True,
+            "detail": err,
+            "metric": "rays_per_sec_fwd_bwd",
+            "value": None,
+        }))
+        sys.stdout.flush()
+        os._exit(1)  # a hung probe thread would block normal exit
 
     from splatfields_tpu import config as cfg_lib
     from splatfields_tpu import train_lib
@@ -147,7 +173,11 @@ def main():
             # carry perturbs the camera position -> next render depends on
             # the previous one (no dispatch-ahead mirage), and nothing is
             # loop-invariant across calls
-            campos = camposj + 1e-9 * carry
+            # multiplicative so the perturbation NEVER rounds away: at
+            # campos~4.0 an additive 1e-9 is below f32 eps (~5e-7) and
+            # successive calls become bitwise-identical (relay-cached,
+            # CLAUDE.md pitfall 1); 1 + 1e-5*carry moves campos by ~4e-5
+            campos = camposj * (1.0 + 1e-5 * carry)
             out = render(params, stats_valid, fv, w2vj, fullj, campos,
                          tf, tf, bg, fid)
             return jnp.full((3,), jnp.sum(out.color) * 1e-6, jnp.float32)
@@ -168,6 +198,58 @@ def main():
             "n_splats": n,
             "resolution": f"{width}x{height}",
             "variant": args.variant,
+            "device": str(jax.devices()[0]),
+        }))
+        return
+
+    if args.scan_k > 0:
+        k = args.scan_k
+        sstep = train_lib.make_scanned_train_step(
+            deform.net, opt_cfg, pipe_cfg, width, height, num_views=v,
+            field_mode=True, n_frames=n_frames, sh_degree=0, k=k)
+        kw2vs, kfulls, kcamposs, _ = make_views(k * v)
+        batches = {
+            "viewmatrix": jnp.asarray(kw2vs.reshape(k, v, 4, 4)),
+            "projmatrix": jnp.asarray(kfulls.reshape(k, v, 4, 4)),
+            "campos": jnp.asarray(kcamposs.reshape(k, v, 3)),
+            "tanfovx": jnp.full((k, v), tanfov, jnp.float32),
+            "tanfovy": jnp.full((k, v), tanfov, jnp.float32),
+            "fid": jnp.full((k,), 0.37, jnp.float32),
+            "image": jnp.asarray(
+                rng.rand(k, v, 3, height, width).astype(np.float32)),
+            "mask": jnp.zeros((k, v, 1, 1, 1), jnp.float32),
+            "depth": jnp.zeros((k, v, 1, 1), jnp.float32),
+            "bg": jnp.ones((k, 3), jnp.float32),
+        }
+        lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
+        key = jax.random.PRNGKey(0)
+        fv = deform.variables
+        fo = deform.opt_state
+        out = sstep(params, stats, splat_opt, fv, fo, batches, lrs,
+                    jnp.asarray(1e-3, jnp.float32), key)
+        params, stats, splat_opt, fp, fo, losses, _l1, key = out
+        fv = dict(fv, params=fp)
+        _ = float(losses[-1])  # compile + materialize
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            params, stats, splat_opt, fp, fo, losses, _l1, key = sstep(
+                params, stats, splat_opt, fv, fo, batches, lrs,
+                jnp.asarray(1e-3, jnp.float32), key)
+            fv = dict(fv, params=fp)
+        _ = float(losses[-1])
+        dt = (time.perf_counter() - t0) / (args.iters * k)
+        rays_s = v * width * height / dt
+        print(json.dumps({
+            "metric": "rays_per_sec_fwd_bwd",
+            "value": round(rays_s, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(rays_s / BASELINE_RAYS_S, 3),
+            "step_ms": round(dt * 1000, 2),
+            "scan_k": k,
+            "n_splats": n,
+            "resolution": f"{width}x{height}",
+            "variant": args.variant,
+            "num_views": v,
             "device": str(jax.devices()[0]),
         }))
         return

@@ -1,0 +1,222 @@
+"""Protocol-length (30k-iter) end-to-end training run (VERDICT r4 item 2).
+
+The shortest released protocol is DTU's 30k iterations
+(/root/reference/run_dtu.sh:8); committed gates so far stop at 3k. This
+runs the REAL training entry (``train.training`` — densification cadence,
+capacity growth + re-jit, opacity reset, LR tails, periodic eval +
+checkpoints) for 30k iterations on a synthetic 400x400 Blender-format
+scene, through the SplatFields3D protocol shape (field mode,
+VarTriPlaneEncoder, lambda_norm 0.01 — run_blender.sh / run_dtu.sh), and
+writes the PSNR trajectory to ``quality_longrun_30k.json``.
+
+Scene: the quality-gate "true" scene recipe (3k gaussians, smooth color
+field) rendered to disk as a Blender dataset — 10 train / 2 test views —
+with the XLA blend so ground truth is independent of the Pallas kernel.
+
+Run on the real TPU (single process), ~30 min:
+    python scripts/longrun_30k.py [--iters 30000] [--res 400]
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import math
+import shutil
+import time
+
+import numpy as np
+
+from splatfields_tpu.utils.system import enable_persistent_compile_cache
+enable_persistent_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT_PATH = os.path.join(REPO, "quality_longrun_30k.json")
+
+
+def _make_pose(theta, phi, radius):
+    """Blender (OpenGL) c2w on a sphere looking at the origin."""
+    cx = radius * math.cos(phi) * math.sin(theta)
+    cy = radius * math.cos(phi) * math.cos(theta)
+    cz = radius * math.sin(phi)
+    pos = np.array([cx, cy, cz])
+    forward = pos / np.linalg.norm(pos)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(up, forward)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(forward, right)
+    c2w = np.eye(4)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = true_up
+    c2w[:3, 2] = forward
+    c2w[:3, 3] = pos
+    return c2w
+
+
+def build_scene(root, res, seed=42, n_true=3000):
+    import PIL.Image
+    from splatfields_tpu.data.cameras import load_cam
+    from splatfields_tpu.data.readers.blender import (
+        read_cameras_from_transforms_cv)
+    from splatfields_tpu.ops.raster.api import rasterize
+
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    os.makedirs(os.path.join(root, "test"), exist_ok=True)
+    fov = 0.8
+    rng = np.random.RandomState(seed)
+    pts = rng.uniform(-0.7, 0.7, (n_true, 3)).astype(np.float32)
+    cols = (0.5 + 0.5 * np.sin(
+        3.0 * pts + np.array([0.0, 2.1, 4.2], np.float32))).astype(np.float32)
+    scales = np.full((n_true, 3), 0.035, np.float32)
+    rots = np.tile(np.array([1, 0, 0, 0], np.float32), (n_true, 1))
+    opac = np.full((n_true,), 0.8, np.float32)
+
+    def write_transforms(name, thetas, phis):
+        frames = [{"file_path": f"./{name}/r_{i}",
+                   "transform_matrix": _make_pose(th, ph, 4.0).tolist()}
+                  for i, (th, ph) in enumerate(zip(thetas, phis))]
+        with open(os.path.join(root, f"transforms_{name}.json"), "w") as f:
+            json.dump({"camera_angle_x": fov, "frames": frames}, f)
+
+    write_transforms("train", np.linspace(0, 2 * np.pi, 10, endpoint=False),
+                     0.35 * np.sin(2.0 * np.arange(10)))
+    write_transforms("test", [0.3, 2.5], [0.2, -0.25])
+    blank = PIL.Image.fromarray(np.zeros((res, res, 4), np.uint8))
+    for i in range(10):
+        blank.save(os.path.join(root, "train", f"r_{i}.png"))
+    for i in range(2):
+        blank.save(os.path.join(root, "test", f"r_{i}.png"))
+
+    for split, count in (("train", 10), ("test", 2)):
+        infos, _ = read_cameras_from_transforms_cv(
+            root, f"transforms_{split}.json", True)
+        for i, info in enumerate(infos):
+            cam = load_cam(info, -1, i, 1.0, max_resolution=res)
+            out = rasterize(
+                jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(rots),
+                jnp.asarray(opac), jnp.asarray(cam.world_view_transform),
+                jnp.asarray(cam.full_proj_transform),
+                jnp.asarray(cam.camera_center),
+                jnp.asarray(np.ones(3, np.float32)),
+                cam.tanfovx, cam.tanfovy, cam.image_width, cam.image_height,
+                colors_precomp=jnp.asarray(cols),
+                blend_impl="jax")  # GT independent of the Pallas path
+            rgb = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
+            alpha = np.clip(np.asarray(out.alpha)[0], 0, 1)
+            rgba = np.concatenate([rgb, alpha[..., None]], -1)
+            PIL.Image.fromarray((rgba * 255).astype(np.uint8)).save(
+                os.path.join(root, split, f"r_{i}.png"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30_000)
+    ap.add_argument("--res", type=int, default=400)
+    ap.add_argument("--num_pts", type=int, default=20_000)
+    ap.add_argument("--eval_every", type=int, default=1000)
+    ap.add_argument("--dup_factor", type=int, default=64,
+                    help="initial duplicated-instance budget factor. The "
+                         "untrained field's scale head makes early splats "
+                         "fat (~1.2M instances at iter 1 on this scene); "
+                         "sizing the budget up front avoids growth re-jits "
+                         "in the first steps (the growth path is "
+                         "separately covered by tests)")
+    ap.add_argument("--keep_run", action="store_true",
+                    help="keep the model dir (default: delete after "
+                         "summarizing, the artifact is the json)")
+    args = ap.parse_args()
+
+    from splatfields_tpu import config as cfg_lib
+    from splatfields_tpu.train import training
+
+    scene_dir = os.path.join(REPO, ".longrun_scene")
+    run_dir = os.path.join(REPO, ".longrun_run")
+    if not os.path.exists(os.path.join(scene_dir, "transforms_test.json")):
+        build_scene(scene_dir, args.res)
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+    # SplatFields3D protocol shape (run_blender.sh / run_dtu.sh): field
+    # mode, VarTriPlane CNN, lambda_norm 0.01, white bg, default densify
+    # cadence / opacity reset / LR schedule.
+    parser = cfg_lib.build_parser()
+    cli = parser.parse_args([
+        "-s", scene_dir, "-m", run_dir, "--white_background", "--eval",
+        "--n_views", "10", "--pts_samples", "hull",
+        "--num_pts", str(args.num_pts), "--max_num_pts", str(args.num_pts),
+        "--encoder_type", "VarTriPlaneEncoder", "--lambda_norm", "0.01",
+        "--load_time_step", "0", "--composition_rank", "0",
+        "--dup_factor", str(args.dup_factor),
+        "--iterations", str(args.iters),
+    ])
+    model_cfg, pipe_cfg, hidden_cfg, opt_cfg = cfg_lib.extract_configs(cli)
+    test_iters = list(range(args.eval_every, args.iters + 1, args.eval_every))
+    save_iters = list(range(5000, args.iters + 1, 5000))
+
+    # the remote compile relay can transiently SIGKILL a re-jit (observed
+    # once at a dup-budget regrow); checkpoints every 5k + --resume make
+    # the run restartable instead of losing 30k iterations
+    t0 = time.time()
+    for attempt in range(3):
+        try:
+            params, stats, deform, best_psnr = training(
+                model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                test_iterations=test_iters, save_iterations=save_iters,
+                args=cli, quiet=False, resume=(attempt > 0))
+            break
+        except Exception as e:  # noqa: BLE001 — relay flakiness
+            print(f"attempt {attempt}: training raised {e!r}", flush=True)
+            if attempt == 2:
+                raise
+            time.sleep(30)
+    wall_s = time.time() - t0
+
+    # PSNR trajectory from the metrics stream
+    traj = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "test/loss_viewpoint - psnr" in rec:
+                traj.append({"iter": rec["step"],
+                             "psnr_db": round(
+                                 rec["test/loss_viewpoint - psnr"], 3)})
+    final = traj[-1]["psnr_db"] if traj else None
+    peak = max(t["psnr_db"] for t in traj) if traj else None
+    # instability check: a collapse = final more than 1 dB below peak
+    stable = final is not None and final >= peak - 1.0
+
+    artifact = {
+        "purpose": ("protocol-length evidence (VERDICT r4 item 2): the "
+                    "framework end-to-end through a released-protocol "
+                    "iteration count — densify cadence, capacity growth, "
+                    "opacity reset, LR tails (run_dtu.sh 30k iters)"),
+        "protocol": {
+            "iters": args.iters, "resolution": f"{args.res}x{args.res}",
+            "init_pts": args.num_pts, "views": "10 train / 2 held-out",
+            "model": "SplatFields3D (VarTriPlaneEncoder + lambda_norm .01)",
+            "densify": "default cadence (from 500, every 100, until 45k; "
+                       "opacity reset every 3k)",
+        },
+        "final_psnr_db": final,
+        "best_psnr_db": round(best_psnr, 3),
+        "stable": bool(stable),
+        "final_points": int(np.asarray(stats.valid).sum()),
+        "capacity": int(params.capacity),
+        "wall_s": round(wall_s, 1),
+        "trajectory": traj,
+        "device": str(jax.devices()[0]),
+        "env_knobs": {k: v for k, v in os.environ.items()
+                      if k.startswith("SPLATFIELDS_")},
+    }
+    with open(OUT_PATH, "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps({k: v for k, v in artifact.items()
+                      if k != "trajectory"}))
+    if not args.keep_run:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,11 @@ def main():
     ap.add_argument("--no-artifact", action="store_true",
                     help="print the result without touching "
                          "quality_gate.json (for seed-spread probes)")
+    ap.add_argument("--num_views", type=int, default=1,
+                    help="views per train step (the reference's "
+                         "--all_training --num_views protocol, train.py:"
+                         "157-163) — the 2.52x bench headline shape; gate "
+                         "artifact quality_gate_mv.json when > 1")
     ap.add_argument("--variant", choices=("field", "owlii4d", "ngp"),
                     default="field",
                     help="owlii4d: dynamic scene (rigidly rotating cloud "
@@ -173,35 +178,53 @@ def main():
     opt_cfg = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_norm=0.01)
     pipe_cfg = cfg_lib.PipelineConfig(
         tile_size=16, tile_cap=1024 if on_tpu else 256, k_chunk=128)
+    nv = max(1, args.num_views)
     step = train_lib.make_train_step(
-        deform.net, opt_cfg, pipe_cfg, width, height, num_views=1,
+        deform.net, opt_cfg, pipe_cfg, width, height, num_views=nv,
         field_mode=True, n_frames=n_frames, sh_degree=0)
     lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
     key = jax.random.PRNGKey(0)
     fv = deform.variables
     fo = deform.opt_state
 
-    def make_batch(v):
-        w2v, full, campos = cams[v]
+    def make_batch(views):
+        """views: list of SAME-FID camera indices batched into one step
+        (multi-view steps require same fid — reference train.py:157-163
+        batches by_fid groups)."""
+        w2v = np.stack([cams[v][0] for v in views])
+        full = np.stack([cams[v][1] for v in views])
+        campos = np.stack([cams[v][2] for v in views])
+        m = len(views)
         return {
-            "viewmatrix": jnp.asarray(w2v)[None],
-            "projmatrix": jnp.asarray(full)[None],
-            "campos": jnp.asarray(campos)[None],
-            "tanfovx": jnp.full((1,), tanfov, jnp.float32),
-            "tanfovy": jnp.full((1,), tanfov, jnp.float32),
-            "fid": jnp.asarray(fids[v], jnp.float32),
-            "image": jnp.asarray(gts[v])[None],
-            "mask": jnp.zeros((1, 1, 1, 1), jnp.float32),
-            "depth": jnp.zeros((1, 1, 1), jnp.float32),
+            "viewmatrix": jnp.asarray(w2v),
+            "projmatrix": jnp.asarray(full),
+            "campos": jnp.asarray(campos),
+            "tanfovx": jnp.full((m,), tanfov, jnp.float32),
+            "tanfovy": jnp.full((m,), tanfov, jnp.float32),
+            "fid": jnp.asarray(fids[views[0]], jnp.float32),
+            "image": jnp.asarray(np.stack([gts[v] for v in views])),
+            "mask": jnp.zeros((m, 1, 1, 1), jnp.float32),
+            "depth": jnp.zeros((m, 1, 1), jnp.float32),
             "bg": jnp.asarray(bg),
         }
 
-    batches = {v: make_batch(v) for v in train_v}
+    if nv > 1:
+        if n_frames:
+            raise SystemExit("--num_views > 1 gate supports the static "
+                             "scene only (same-fid view groups)")
+        # rotate through view groups so all 8 train views are seen
+        groups = [[train_v[(g + j) % len(train_v)] for j in range(nv)]
+                  for g in range(len(train_v))]
+        batches = {g: make_batch(views) for g, views in enumerate(groups)}
+        sel = lambda it: it % len(groups)
+    else:
+        batches = {v: make_batch([v]) for v in train_v}
+        sel = lambda it: train_v[it % len(train_v)]
+
     t0 = time.time()
     for it in range(iters):
-        v = train_v[it % len(train_v)]
         params, stats, splat_opt, fp, fo, res, key = step(
-            params, stats, splat_opt, fv, fo, batches[v], lrs,
+            params, stats, splat_opt, fv, fo, batches[sel(it)], lrs,
             jnp.asarray(1e-3, jnp.float32), key)
         fv = dict(fv, params=fp)
     final_loss = float(res.loss)
@@ -230,8 +253,11 @@ def main():
         gate_path = GATE_PATH.replace(".json", "_4d.json")
     elif args.variant == "ngp":
         gate_path = GATE_PATH.replace(".json", "_ngp.json")
+    elif nv > 1:
+        gate_path = GATE_PATH.replace(".json", "_mv.json")
     result = {
         "variant": args.variant,
+        "num_views": nv,
         "psnr_db": round(psnr, 3),
         "per_view": [round(p, 3) for p in psnrs],
         "final_loss": round(final_loss, 5),

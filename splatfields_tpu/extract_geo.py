@@ -75,8 +75,9 @@ def splat_density_query(params, stats, deform, n_frames, fid=0.0,
         t = (jnp.full((xyz.shape[0], 1), fid) if n_frames > 0 else None)
         ret = deform.net.apply(deform.variables, jnp.asarray(xyz), t)
         xyz = np.asarray(ret["means3D"])
-        scales = np.asarray(np.exp(
-            np.log(np.maximum(scales, 1e-9)) + np.asarray(ret["scales"])))
+        # Field scale deltas are ADDITIVE in activated space, matching the
+        # render path (train_lib.py:67 "ret['scales'] + scaling").
+        scales = np.maximum(scales + np.asarray(ret["scales"]), 1e-9)
         opac = np.asarray(ret["opacity"]).reshape(-1)
     sigma = np.maximum(scales.mean(axis=-1), 1e-6)  # isotropic approx
     centers = jnp.asarray(xyz)

@@ -45,6 +45,14 @@ chunked variant via ``chunk_size``/``chunk_strategy``), ``vm_cum``,
   as the base weight, ``resfields.py:68``); flax params init from
   independent keys, so we draw a fresh 0.01-scaled kaiming tensor.
   Training-equivalent in distribution; transplant tests overwrite it.
+- ``loe`` + ``mode='lookup'``: refused with NotImplementedError. Upstream
+  builds PER-SAMPLE weights from input_time and then, in lookup mode,
+  indexes that stack by ``frame_id`` over the SAMPLE axis
+  (``resfields.py:293-300``) — semantically broken (crashes whenever
+  frame_id >= N). Only the interpolation modes are supported here.
+- chunked ``vm`` + interpolation modes: refused with NotImplementedError
+  (frame_id required); upstream likewise only ever indexes the chunk
+  tables by integer frame_id (``resfields.py:181-219``).
 - chunked ``shared``/``both`` shape quirk: upstream's
   ``view(-1, *weight.shape)`` sees the 3D chunked weight, skips the
   ``frame_id`` lookup and returns a [capacity, S, F_out] all-frames batch
@@ -356,6 +364,12 @@ class ResFieldLinear(nn.Module):
         base_flat = base.reshape(-1)  # row-major (in, out)
 
         if self.compression == "vm" and self.chunk_size is not None:
+            if frame_id is None:
+                raise NotImplementedError(
+                    "chunked vm supports lookup mode only (frame_id "
+                    "required); interpolation over chunk boundaries is "
+                    "undefined upstream too (reference resfields.py:181-219 "
+                    "indexes weights_t/chunks by integer frame_id)")
             wt = self.weights_t[frame_id]                    # [R]
             ch = frame_id // self.chunk_size
             if self.chunk_strategy == "shared":
@@ -420,6 +434,14 @@ class ResFieldLinear(nn.Module):
                     "compression='loe' requires input_time (nearest-expert "
                     "lookup); upstream crashes on input_time=None too "
                     "(reference resfields.py:259)")
+            if self.mode == "lookup":
+                raise NotImplementedError(
+                    "compression='loe' supports the interpolation modes "
+                    "only: upstream's lookup path indexes the PER-SAMPLE "
+                    "weight stack by frame_id (reference resfields.py:"
+                    "293-300 'mat[frame_id]' where mat's axis 0 is the "
+                    "sample axis, not frames) — semantically broken; we "
+                    "refuse instead of reproducing it")
             # nearest expert: grid_sample 'nearest' + border + align_corners
             t = (input_time.reshape(-1) + 1.0) / 2.0 * (self.rank - 1)
             r = jnp.clip(jnp.round(t), 0, self.rank - 1).astype(jnp.int32)

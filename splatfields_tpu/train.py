@@ -429,6 +429,12 @@ def evaluate(scene, params, stats, deform, model_cfg, pipe_cfg, opt_cfg,
                 panels["depth"] = np.clip((depth - 9.0) / (dmax - 9.0), 0, 1)
                 writer.images(iteration, f"{name}_view_{idx}", panels)
         results[name] = (np.mean(l1s), np.mean(psnrs))
+        if writer is not None:
+            # reference train.py:421-424 tb tags
+            writer.scalars(iteration, {
+                f"{name}/loss_viewpoint - l1_loss": results[name][0],
+                f"{name}/loss_viewpoint - psnr": results[name][1],
+            })
         if not quiet:
             print(f"\n[ITER {iteration}] Evaluating {name}: "
                   f"L1 {results[name][0]:.5f} PSNR {results[name][1]:.3f}")

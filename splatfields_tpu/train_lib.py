@@ -258,8 +258,11 @@ def _neighborhood_morans(weights, feats_nn):
 def make_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
                     field_mode: bool, n_frames: int, sh_degree: int,
                     n_splats: int = -1, enable_gaussian_opt: bool = True,
-                    use_planes: bool = True):
-    """Build the jitted train step for one (mode, V, sh_degree) signature."""
+                    use_planes: bool = True, jit: bool = True):
+    """Build the jitted train step for one (mode, V, sh_degree) signature.
+
+    ``jit=False`` returns the raw traceable step body (for embedding in a
+    ``lax.scan``, see ``make_scanned_train_step``)."""
 
     has_encoder = net is not None and net.encoder_type in (
         "VarTriPlaneEncoder", "VarHexPlaneEncoder")
@@ -339,4 +342,47 @@ def make_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
                       screen_grad=g_off[-1], means3d=means3d)
         return new_sp, new_stats, new_sp_opt, new_fp, new_f_opt, out, rng
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0, 2, 4))
+
+
+def make_scanned_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
+                            field_mode: bool, n_frames: int, sh_degree: int,
+                            k: int, **kwargs):
+    """K train steps per dispatch via ``lax.scan`` (VERDICT r4 item 4).
+
+    The axon relay costs ~ms per dispatch (CLAUDE.md pitfall 4); scanning k
+    steps into ONE jitted call amortizes that and lets XLA overlap
+    host-independent work across iterations. Intended for the stretches
+    between host decision points — the reference only densifies every 100
+    iters (train.py:309) and evals every 1000, so k in 4-8 divides cleanly.
+
+    Takes ``batches``: the single-step batch pytree stacked along a leading
+    k axis. Returns per-step ``(losses, l1s)`` [k] instead of the full
+    ``StepOut`` (radii / screen-grad / means3d stay in the scan carry's
+    stats; materializing them k-fold would cost k*N HBM for diagnostics
+    nothing reads between host boundaries — ``overwrite_loc`` consumers
+    should keep the unscanned step)."""
+    body_step = make_train_step(
+        net, opt_cfg, pipe_cfg, width, height, num_views, field_mode,
+        n_frames, sh_degree, jit=False, **kwargs)
+
+    def scanned(splat_params, splat_stats, splat_opt, field_vars, field_opt,
+                batches, splat_lrs, field_lr, rng):
+        static = {key: v for key, v in field_vars.items() if key != "params"}
+
+        def body(carry, b):
+            sp, st, so, fp, fo, key = carry
+            sp, st, so, fp, fo, out, key = body_step(
+                sp, st, so, dict(static, params=fp), fo, b, splat_lrs,
+                field_lr, key)
+            return (sp, st, so, fp, fo, key), (out.loss, out.l1)
+
+        carry0 = (splat_params, splat_stats, splat_opt,
+                  field_vars.get("params", {}), field_opt, rng)
+        (sp, st, so, fp, fo, rng), (losses, l1s) = jax.lax.scan(
+            body, carry0, batches, length=k)
+        return sp, st, so, fp, fo, losses, l1s, rng
+
+    return jax.jit(scanned, donate_argnums=(0, 2, 4))

@@ -210,6 +210,41 @@ def pose_spherical(theta, phi, radius):
     return (swap @ c2w).astype(np.float32)
 
 
+def rodrigues_mat_to_rot(R):
+    """SO(3) log map: rotation matrix -> axis-angle vector (reference
+    ``utils/pose_utils.py:24-37`` — defined upstream, imported nowhere).
+
+    theta = arccos((tr R - 1) / 2); omega = theta / (2 sin theta) *
+    [R32-R23, R13-R31, R21-R12]. Near theta = 0 or pi (sin theta -> 0) the
+    reference switches to its small-angle surrogate 0.5 / (1 - theta/6);
+    reproduced for parity."""
+    R = np.asarray(R)
+    trc2 = (np.trace(R) - 1.0) / 2.0
+    s = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    theta = np.arccos(np.clip(trc2, -1.0, 1.0))
+    if (1.0 - trc2 * trc2) >= 1e-16:
+        factor = theta / (2.0 * np.sin(theta))
+    else:
+        factor = 0.5 / (1.0 - theta / 6.0)
+    return factor * s
+
+
+def rodrigues_rot_to_mat(r):
+    """SO(3) exp map: axis-angle vector -> rotation matrix (reference
+    ``utils/pose_utils.py:39-56``): R = cos(t) I + (1-cos t)/t^2 rr^T +
+    sin(t)/t [r]_x. Like the reference, NaN at t = 0 exactly (upstream
+    divides by t^2 unconditionally)."""
+    r = np.asarray(r, np.float64)
+    theta = np.linalg.norm(r)
+    a = np.cos(theta)
+    b = (1.0 - a) / (theta * theta)
+    c = np.sin(theta) / theta
+    skew = np.array([[0.0, -r[2], r[1]],
+                     [r[2], 0.0, -r[0]],
+                     [-r[1], r[0], 0.0]])
+    return a * np.eye(3) + b * np.outer(r, r) + c * skew
+
+
 def render_wander_path(R, T, fovy, image_height, num_frames=60,
                        max_disp=5000.0):
     """Sideways 'wander' dolly around one reference view (reference

@@ -27,6 +27,53 @@ def enable_persistent_compile_cache(cache_dir: str | None = None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def probe_backend(timeout_s: float = 240.0, retries: int = 1, probe=None):
+    """Bounded-timeout backend initialization probe.
+
+    The axon TPU relay can be down at the environment level, in which case
+    ``jax.devices()`` either raises ("Unable to initialize backend 'axon'")
+    or HANGS indefinitely (observed round 4, BENCH_r04.json / VERDICT.md).
+    This runs the probe in a daemon thread with a deadline and one retry so
+    callers can emit a machine-readable diagnostic instead of hanging.
+
+    Returns ``(devices, None)`` on success or ``(None, reason)`` after
+    ``retries`` extra attempts. ``SPLATFIELDS_FORCE_BACKEND_FAIL=1`` forces
+    the failure path (for testing the diagnostic).
+
+    NOTE: a hung probe thread cannot be killed; callers that got
+    ``(None, ...)`` should exit via ``os._exit`` after printing.
+    """
+    import threading
+
+    if os.environ.get("SPLATFIELDS_FORCE_BACKEND_FAIL") == "1":
+        return None, "forced by SPLATFIELDS_FORCE_BACKEND_FAIL=1"
+    if probe is None:
+        def probe():
+            import jax
+            return jax.devices()
+    last_err = None
+    for _attempt in range(retries + 1):
+        result = {}
+
+        def run():
+            try:
+                result["devices"] = probe()
+            except Exception as e:  # noqa: BLE001 — diagnostic path
+                result["error"] = repr(e)
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        if th.is_alive():
+            last_err = (f"backend init did not return within "
+                        f"{timeout_s:.0f}s (relay hang)")
+            continue
+        if "devices" in result:
+            return result["devices"], None
+        last_err = result.get("error", "unknown backend init failure")
+    return None, last_err
+
+
 def search_for_max_iteration(folder: str):
     """Max iteration_N subdirectory (reference :28-30)."""
     if not os.path.isdir(folder):

@@ -75,6 +75,26 @@ class TestResFieldLinear:
         with pytest.raises(NotImplementedError):
             m.init(jax.random.PRNGKey(0), jnp.ones((2, 4)))
 
+    def test_loe_lookup_mode_refused(self):
+        """Upstream loe+lookup indexes per-SAMPLE weights by frame_id
+        (reference resfields.py:293-300) — semantically broken; we refuse
+        (ADVICE r4)."""
+        m = ResFieldLinear(in_features=4, out_features=3, rank=2, capacity=5,
+                           compression="loe", mode="lookup")
+        with pytest.raises(NotImplementedError, match="interpolation"):
+            m.init(jax.random.PRNGKey(0), jnp.ones((2, 4)),
+                   input_time=jnp.zeros((2,)), frame_id=jnp.asarray(1))
+
+    def test_chunked_vm_interpolation_refused(self):
+        """Chunked vm requires integer frame_id (lookup); interpolation
+        falls through to a clear error instead of a TypeError (ADVICE r4)."""
+        m = ResFieldLinear(in_features=4, out_features=3, rank=2, capacity=8,
+                           compression="vm", mode="interpolation",
+                           chunk_size=4)
+        with pytest.raises(NotImplementedError, match="lookup"):
+            m.init(jax.random.PRNGKey(0), jnp.ones((2, 4)),
+                   input_time=jnp.zeros((2,)))
+
     def test_cp_matches_numpy_oracle(self):
         """cp: delta stack = tensorly cp_to_tensor((lin_w, [f1,f2,f3]))
         (reference resfields.py:345-349) = sum_r w_r f1[:,r] (x) f2[:,r]

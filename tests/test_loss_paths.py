@@ -193,3 +193,78 @@ class TestFieldVariantsInStep:
                                 "flow_model": "se3"},
                                n_frames=3, fid=0.5)
         assert np.isfinite(float(res.loss))
+
+
+class TestScannedStep:
+    """make_scanned_train_step: k scanned steps == k sequential jitted
+    steps bit-for-bit (same math, one dispatch — VERDICT r4 item 4)."""
+
+    def _setup(self, field_mode, n=96, w=32, h=32, k=3):
+        s = make_scene(n=n, width=w, height=h)
+        params, stats = splats_lib.create_from_pcd(
+            s["means3d"], np.abs(s["colors_precomp"]), 0, capacity=n)
+        pipe = cfg_lib.PipelineConfig(tile_cap=64, k_chunk=32)
+        opt = cfg_lib.OptimizationConfig(lambda_norm=0.01)
+        net, fv, fo = None, {"params": {}}, splats_lib.adam_init({})
+        if field_mode:
+            from splatfields_tpu.models.deform_model import DeformModel
+            hidden = cfg_lib.HiddenConfig(
+                encoder_type="VarTriPlaneEncoder",
+                encoder_args={"noise_res": 4}, composition_rank=0,
+                n_frames=0)
+            deform = DeformModel(hidden, radius=1.0)
+            net, fv, fo = deform.net, deform.variables, deform.opt_state
+        # k distinct single-view batches
+        rngs = [build_batch(s) for _ in range(k)]
+        for i, b in enumerate(rngs):
+            b["image"] = b["image"] * (0.3 + 0.2 * i)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rngs)
+        lrs = splats_lib.splat_lr_tree(1e-4, 1e-3, 0.05, 1e-3, 1e-3)
+        return (s, params, stats, pipe, opt, net, fv, fo, rngs, stacked,
+                lrs, k, w, h)
+
+    def _run_pair(self, field_mode):
+        (s, params, stats, pipe, opt, net, fv, fo, batches, stacked, lrs,
+         k, w, h) = self._setup(field_mode)
+        flr = jnp.asarray(1e-3 if field_mode else 0.0, jnp.float32)
+        key = jax.random.PRNGKey(7)
+
+        # sequential reference (fresh state copies: steps donate buffers)
+        cp = lambda t: jax.tree.map(jnp.array, t)
+        sp, st, so = cp(params), cp(stats), splats_lib.adam_init(params)
+        fvars, fopt = cp(fv), cp(fo)
+        step = train_lib.make_train_step(
+            net, opt, pipe, w, h, num_views=1, field_mode=field_mode,
+            n_frames=0, sh_degree=0)
+        seq_losses, kk = [], key
+        for b in batches:
+            sp, st, so, fp, fopt, out, kk = step(
+                sp, st, so, fvars, fopt, b, lrs, flr, kk)
+            fvars = dict(fvars, params=fp)
+            seq_losses.append(float(out.loss))
+
+        # scanned
+        sp2, st2, so2 = cp(params), cp(stats), splats_lib.adam_init(params)
+        sstep = train_lib.make_scanned_train_step(
+            net, opt, pipe, w, h, num_views=1, field_mode=field_mode,
+            n_frames=0, sh_degree=0, k=k)
+        sp2, st2, so2, fp2, fo2, losses, l1s, _ = sstep(
+            sp2, st2, so2, cp(fv), cp(fo), stacked, lrs, flr, key)
+
+        np.testing.assert_allclose(
+            np.asarray(losses), np.asarray(seq_losses), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(sp2.xyz), np.asarray(sp.xyz), rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(st2.denom), np.asarray(st.denom), rtol=1e-6)
+        if field_mode:
+            a = jax.tree.leaves(fp2)[0]
+            b = jax.tree.leaves(fvars["params"])[0]
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_static_scan_equals_sequential(self):
+        self._run_pair(field_mode=False)
+
+    def test_field_scan_equals_sequential(self):
+        self._run_pair(field_mode=True)

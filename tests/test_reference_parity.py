@@ -10,6 +10,7 @@ than a re-derived formula.
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -469,3 +470,104 @@ class TestWanderPathParity:
         want = np.stack([p.numpy() for p in ref_pose.render_wander_path(v)])
         got = render_wander_path(q.copy(), t.copy(), 0.9, 400)
         np.testing.assert_array_equal(got, want)
+
+
+class TestRodriguesParity:
+    """rodrigues_{mat_to_rot,rot_to_mat} vs /root/reference/utils/
+    pose_utils.py:24-56 (the file's last unported functions; imported
+    nowhere upstream — VERDICT r4 item 7)."""
+
+    def test_rot_to_mat_matches_reference(self):
+        from utils import pose_utils as ref_pose
+        from splatfields_tpu.utils.camera_paths import rodrigues_rot_to_mat
+
+        rng = np.random.RandomState(1)
+        for _ in range(20):
+            r = rng.randn(3) * rng.uniform(0.01, 3.0)
+            want = ref_pose.rodrigues_rot_to_mat(r)
+            got = rodrigues_rot_to_mat(r)
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+    def test_mat_to_rot_matches_reference(self):
+        from utils import pose_utils as ref_pose
+        from splatfields_tpu.utils.camera_paths import rodrigues_mat_to_rot
+
+        rng = np.random.RandomState(2)
+        for _ in range(20):
+            q, _ = np.linalg.qr(rng.randn(3, 3))
+            if np.linalg.det(q) < 0:
+                q[:, 0] = -q[:, 0]
+            want = ref_pose.rodrigues_mat_to_rot(q)
+            got = rodrigues_mat_to_rot(q)
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+        # the small-angle branch (identity: trc2 = 1, 1 - trc2^2 < eps)
+        np.testing.assert_allclose(
+            rodrigues_mat_to_rot(np.eye(3)),
+            ref_pose.rodrigues_mat_to_rot(np.eye(3)), atol=1e-12)
+
+    def test_roundtrip(self):
+        from splatfields_tpu.utils.camera_paths import (
+            rodrigues_mat_to_rot, rodrigues_rot_to_mat)
+        rng = np.random.RandomState(3)
+        r = rng.randn(3)
+        np.testing.assert_allclose(
+            rodrigues_mat_to_rot(rodrigues_rot_to_mat(r)), r, atol=1e-9)
+
+
+class TestDensityParity:
+    """LaplaceDensity / BellDensity vs /root/reference/scene/
+    tripFields.py:18-55 (imported by time_utils.py:7 upstream but never
+    constructed from any released config — VERDICT r4 item 7)."""
+
+    @pytest.fixture(scope="class")
+    def ref_trip(self):
+        _import_ref_time_utils()  # installs the mmgen/diffusers/scene stubs
+        import importlib
+        return importlib.import_module("scene.tripFields")
+
+    def test_laplace_matches_reference(self, ref_trip):
+        from splatfields_tpu.models.density import LaplaceDensity
+
+        ref = ref_trip.LaplaceDensity({"beta": 0.1, "beta_min": 1e-4})
+        with torch.no_grad():
+            ref.beta.data.fill_(0.37)
+        sdf = np.linspace(-2.0, 2.0, 41).astype(np.float32)
+
+        ours = LaplaceDensity(beta_init=0.1, beta_min=1e-4)
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(sdf))
+        variables = {"params": {"beta": jnp.asarray(0.37, jnp.float32)}}
+
+        want = ref(torch.from_numpy(sdf)).detach().numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(sdf)))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+        inv_want = float(ref.inv_s())
+        inv_got = float(ours.apply(variables, method=LaplaceDensity.inv_s))
+        np.testing.assert_allclose(inv_got, inv_want, rtol=1e-6)
+
+    def test_laplace_explicit_beta(self, ref_trip):
+        from splatfields_tpu.models.density import LaplaceDensity
+        sdf = np.linspace(-1.0, 1.0, 17).astype(np.float32)
+        ref = ref_trip.LaplaceDensity({})
+        want = ref(torch.from_numpy(sdf), beta=torch.tensor(0.05)).numpy()
+        ours = LaplaceDensity()
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(sdf))
+        got = np.asarray(ours.apply(variables, jnp.asarray(sdf), beta=0.05))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    def test_bell_matches_reference(self, ref_trip):
+        from splatfields_tpu.models.density import BellDensity
+
+        ref = ref_trip.BellDensity({})
+        with torch.no_grad():
+            ref.lamb.data.fill_(1.3)
+            ref.gamma.data.fill_(0.8)
+        sdf = np.linspace(-3.0, 3.0, 31).astype(np.float32)
+
+        ours = BellDensity()
+        variables = {"params": {"lamb": jnp.asarray(1.3, jnp.float32),
+                                "gamma": jnp.asarray(0.8, jnp.float32)}}
+        want = ref(torch.from_numpy(sdf)).detach().numpy()
+        got = np.asarray(ours.apply(variables, jnp.asarray(sdf)))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+        inv_got = float(ours.apply(variables, method=BellDensity.inv_s))
+        np.testing.assert_allclose(inv_got, float(ref.inv_s()), rtol=1e-6)
