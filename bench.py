@@ -221,20 +221,22 @@ def main():
             "depth": jnp.zeros((k, v, 1, 1), jnp.float32),
             "bg": jnp.ones((k, 3), jnp.float32),
         }
-        lrs = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
+        lrs1 = splats_lib.splat_lr_tree(1.6e-4, 2.5e-3, 0.05, 1e-3, 1e-3)
+        lrs = jax.tree.map(lambda x: jnp.broadcast_to(x, (k,)), lrs1)
+        flrs = jnp.full((k,), 1e-3, jnp.float32)
         key = jax.random.PRNGKey(0)
         fv = deform.variables
         fo = deform.opt_state
         out = sstep(params, stats, splat_opt, fv, fo, batches, lrs,
-                    jnp.asarray(1e-3, jnp.float32), key)
-        params, stats, splat_opt, fp, fo, losses, _l1, key = out
+                    flrs, key)
+        params, stats, splat_opt, fp, fo, losses, _l1, _aux, key = out
         fv = dict(fv, params=fp)
         _ = float(losses[-1])  # compile + materialize
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            params, stats, splat_opt, fp, fo, losses, _l1, key = sstep(
+            params, stats, splat_opt, fp, fo, losses, _l1, _aux, key = sstep(
                 params, stats, splat_opt, fv, fo, batches, lrs,
-                jnp.asarray(1e-3, jnp.float32), key)
+                flrs, key)
             fv = dict(fv, params=fp)
         _ = float(losses[-1])
         dt = (time.perf_counter() - t0) / (args.iters * k)

@@ -20,6 +20,12 @@ from splatfields_tpu.models import splats as splats_lib
 from splatfields_tpu.models.deform_model import DeformModel
 from splatfields_tpu.utils import camera_math as cm
 
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--variant", choices=("field", "owlii4d", "ngp"),
+                 default="field")
+_args, _rest = _ap.parse_known_args()
+
 width = height = 800
 n = 100_000
 rng = np.random.RandomState(0)
@@ -36,21 +42,32 @@ pts = rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32)
 cols = rng.rand(n, 3).astype(np.float32)
 params, stats = splats_lib.create_from_pcd(pts, cols, 0, capacity=n)
 splat_opt = splats_lib.adam_init(params)
-hidden = cfg_lib.HiddenConfig(
-    encoder_type="VarTriPlaneEncoder", composition_rank=0, n_frames=0)
+if _args.variant == "owlii4d":
+    hidden = cfg_lib.HiddenConfig(
+        encoder_type="VarTriPlaneEncoder", composition_rank=40,
+        n_frames=100, flow_model="offset")
+    n_frames = 100
+elif _args.variant == "ngp":
+    hidden = cfg_lib.HiddenConfig(
+        encoder_type="NGPMLP", composition_rank=0, n_frames=0)
+    n_frames = 0
+else:
+    hidden = cfg_lib.HiddenConfig(
+        encoder_type="VarTriPlaneEncoder", composition_rank=0, n_frames=0)
+    n_frames = 0
 deform = DeformModel(hidden, radius=1.0)
 opt_cfg = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_norm=0.01)
 pipe_cfg = cfg_lib.PipelineConfig(tile_size=16, tile_cap=1024, k_chunk=128)
 step = train_lib.make_train_step(
     deform.net, opt_cfg, pipe_cfg, width, height, num_views=1,
-    field_mode=True, n_frames=0, sh_degree=0)
+    field_mode=True, n_frames=n_frames, sh_degree=0)
 batch = {
     "viewmatrix": jnp.asarray(w2v)[None],
     "projmatrix": jnp.asarray(full)[None],
     "campos": jnp.asarray(campos)[None],
     "tanfovx": jnp.full((1,), tanfov, jnp.float32),
     "tanfovy": jnp.full((1,), tanfov, jnp.float32),
-    "fid": jnp.zeros((), jnp.float32),
+    "fid": jnp.asarray(0.37, jnp.float32),
     "image": jnp.asarray(rng.rand(1, 3, height, width).astype(np.float32)),
     "mask": jnp.zeros((1, 1, 1, 1), jnp.float32),
     "depth": jnp.zeros((1, 1, 1), jnp.float32),
@@ -66,12 +83,12 @@ lowered = jax.jit(step, donate_argnums=(0, 2, 4)).lower(
     jnp.asarray(1e-3, jnp.float32), key)
 compiled = lowered.compile()
 txt = compiled.as_text()
-path = "/tmp/step_hlo.txt"
+path = "/tmp/step_hlo.txt" if _args.variant == "field" else f"/tmp/step_hlo_{_args.variant}.txt"
 with open(path, "w") as f:
     f.write(txt)
 print("HLO chars:", len(txt), "->", path)
 
-wanted = sys.argv[1:] or ["fusion.22", "fusion.27", "fusion.20",
+wanted = _rest or ["fusion.22", "fusion.27", "fusion.20",
                           "fusion.18", "fusion.19", "fusion.21",
                           "fusion.4", "fusion.5", "slice.632",
                           "pad.1958", "while.15", "fusion.4983"]

@@ -16,9 +16,14 @@ import json
 import re
 import sys
 
-N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+VARIANT = ""
+for a in sys.argv[1:]:
+    if a.startswith("--variant="):
+        VARIANT = "_" + a.split("=", 1)[1]
+N_STEPS = int(args[0]) if args else 3
 
-hlo = open("/tmp/step_hlo.txt").read()
+hlo = open(f"/tmp/step_hlo{VARIANT}.txt").read()
 meta = {}
 pat = re.compile(
     r"%([\w.\-]+) = .*?metadata=\{([^}]*)\}", re.S)
@@ -34,7 +39,7 @@ for m in re.finditer(r"^\s*%([\w.\-]+) = [^\n]*", hlo, re.M):
         meta[name] = f"[{tail}]"
 
 trace = sorted(glob.glob(
-    "/tmp/splatfields_trace/plugins/profile/*/vm.trace.json.gz"))[-1]
+    f"/tmp/splatfields_trace{VARIANT}/plugins/profile/*/vm.trace.json.gz"))[-1]
 with gzip.open(trace) as f:
     data = json.load(f)
 ev = [e for e in data["traceEvents"]

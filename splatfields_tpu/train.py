@@ -70,14 +70,22 @@ def build_view_batch(cams, num_views, bg, with_mask, with_depth):
 
 def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
              save_iterations, args=None, quiet=False,
-             progress_callback=None, resume=False, mesh=None, ring=False):
+             progress_callback=None, resume=False, mesh=None, ring=False,
+             scan_k=0):
     """``mesh``: optional ('data', 'model') jax.sharding.Mesh — train with
     the sharded step (parallel/step.py) instead of the single-device one.
     Requires ``n_splats == -1`` (no subsampling) and ``num_views``
     divisible by the data axis; capacity is rounded up to the model axis.
     ``ring``: exchange Gaussian blocks around the model ring instead of
     all_gathering the full attribute set (parallel/ring.py — for N too
-    large to replicate)."""
+    large to replicate).
+    ``scan_k``: if > 1, run k iterations per device dispatch via
+    ``lax.scan`` (train_lib.make_scanned_train_step) whenever the window
+    crosses no host decision point (densify / eval / save / SH bump /
+    warm-up / overwrite-activation boundary) — amortizes the relay's
+    per-dispatch cost; bit-identical math (tests/test_loss_paths.py::
+    TestScannedStep). Single-device only; disabled when a
+    progress_callback needs per-iteration state."""
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     is_static = model_cfg.is_static
@@ -138,16 +146,20 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
 
     rng = jax.random.PRNGKey(0)
     step_cache = {}
+    scanned_cache = {}   # scan_k windows (train_lib.make_scanned_train_step)
     densify_cache = {}   # (size_thr, capacity) -> sharded densify jit
+
+    def _opt_eff():
+        # mask-loss path requires masks; disable if absent
+        if not with_mask and opt_cfg.lambda_mask > 0:
+            import dataclasses as dc
+            return dc.replace(opt_cfg, lambda_mask=0.0)
+        return opt_cfg
 
     def get_step(field_mode, sh_deg):
         key = (field_mode, sh_deg, params.capacity, pipe_cfg.dup_factor)
         if key not in step_cache:
-            # mask-loss path requires masks; disable if absent
-            opt_eff = opt_cfg
-            if not with_mask and opt_cfg.lambda_mask > 0:
-                import dataclasses as dc
-                opt_eff = dc.replace(opt_cfg, lambda_mask=0.0)
+            opt_eff = _opt_eff()
             if mesh is not None:
                 from splatfields_tpu.parallel import step as pstep
                 n_data = mesh.shape["data"]
@@ -172,6 +184,48 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                     enable_gaussian_opt=enable_g_opt)
         return step_cache[key]
 
+    def get_scanned(field_mode, sh_deg, overwrite):
+        key = (field_mode, sh_deg, params.capacity, pipe_cfg.dup_factor,
+               overwrite)
+        if key not in scanned_cache:
+            scanned_cache[key] = train_lib.make_scanned_train_step(
+                deform.net if deform else None, _opt_eff(), pipe_cfg, w, h,
+                num_views, field_mode, n_frames, sh_deg, k=scan_k,
+                overwrite_loc=overwrite, n_splats=opt_cfg.n_splats,
+                enable_gaussian_opt=enable_g_opt)
+        return scanned_cache[key]
+
+    test_set, save_set = set(test_iterations), set(save_iterations)
+
+    def _field_mode_at(j):
+        return (not is_static) and not (
+            opt_cfg.warm_up is not None and 0 < opt_cfg.warm_up
+            and j < opt_cfg.warm_up)
+
+    def _scan_window_ok(i):
+        """Can iterations [i, i+scan_k) run as one scanned dispatch?"""
+        if scan_k < 2 or mesh is not None or progress_callback is not None:
+            return False
+        end = i + scan_k - 1
+        if end > opt_cfg.iterations:
+            return False
+        fm = _field_mode_at(i)
+        over0 = opt_cfg.overwrite_loc and fm and i > 1500
+        for j in range(i, end + 1):
+            if j in test_set or j in save_set:
+                return False
+            if enable_g_opt and j % 1000 == 0:
+                return False  # SH-bump boundary
+            if _field_mode_at(j) != fm:
+                return False  # warm-up boundary
+            if (enable_g_opt and j < opt_cfg.densify_until_iter
+                    and j > opt_cfg.densify_from_iter
+                    and j % opt_cfg.densification_interval == 0):
+                return False  # densify boundary
+            if (opt_cfg.overwrite_loc and fm and (j > 1500) != over0):
+                return False  # overwrite_loc activation boundary
+        return True
+
     active_sh = 0
     ema_loss = 0.0
     best_psnr, best_iter = 0.0, 0
@@ -179,6 +233,7 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
     t_start = time.time()
     times = []
     start_iteration = 1
+    skip = 0
 
     if resume and model_cfg.model_path:
         from splatfields_tpu import checkpointing
@@ -206,35 +261,104 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 if enable_g_opt else 0
             print(f"Resumed training state at iteration {it0}")
 
-    for iteration in range(start_iteration, opt_cfg.iterations + 1):
-        if enable_g_opt and iteration % 1000 == 0:
-            active_sh = min(active_sh + 1, model_cfg.sh_degree)
-
+    def _next_batch(j):
+        nonlocal viewpoint_stack
         if not viewpoint_stack:
             viewpoint_stack = list(train_cams)
         vp = viewpoint_stack[random.randint(0, len(viewpoint_stack) - 1)]
-
         if opt_cfg.all_training:
             cam_list = list(by_fid[vp.fid])
             random.shuffle(cam_list)
         else:
             cam_list = [vp]
-        batch = build_view_batch(cam_list, num_views, bg, with_mask,
-                                 with_depth)
+        b = build_view_batch(cam_list, num_views, bg, with_mask, with_depth)
         if opt_cfg.corr_interval > 1:
             # Moran budget knob: KNN+corr terms run on gated steps only
             # (train_lib.compute_losses scales them by the interval)
-            batch["corr_gate"] = jnp.asarray(
-                1.0 if iteration % opt_cfg.corr_interval == 0 else 0.0,
+            b["corr_gate"] = jnp.asarray(
+                1.0 if j % opt_cfg.corr_interval == 0 else 0.0,
                 jnp.float32)
+        return b
 
-        field_mode = (not is_static) and not (
-            opt_cfg.warm_up is not None and 0 < opt_cfg.warm_up
-            and iteration < opt_cfg.warm_up)
-
-        lrs = splats_lib.splat_lr_tree(
-            xyz_sched(iteration) / 5.0, opt_cfg.feature_lr,
+    def _lrs_at(j):
+        return splats_lib.splat_lr_tree(
+            xyz_sched(j) / 5.0, opt_cfg.feature_lr,
             opt_cfg.opacity_lr, opt_cfg.scaling_lr, opt_cfg.rotation_lr)
+
+    for iteration in range(start_iteration, opt_cfg.iterations + 1):
+        if enable_g_opt and iteration % 1000 == 0:
+            active_sh = min(active_sh + 1, model_cfg.sh_degree)
+        if skip:
+            skip -= 1
+            continue
+
+        if _scan_window_ok(iteration):
+            # ---- k iterations in ONE dispatch (lax.scan window) ----
+            fm = _field_mode_at(iteration)
+            sh_deg = active_sh if not fm else 0
+            over = opt_cfg.overwrite_loc and fm and iteration > 1500
+            js = list(range(iteration, iteration + scan_k))
+            batches = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[_next_batch(j) for j in js])
+            lrs_k = jax.tree.map(
+                lambda *xs: jnp.asarray(xs, jnp.float32),
+                *[_lrs_at(j) for j in js])
+            flrs = jnp.asarray(
+                [deform.learning_rate(j) if (deform and fm) else 0.0
+                 for j in js], jnp.float32)
+            sstep = get_scanned(fm, sh_deg, over)
+            field_vars = deform.variables if (deform and fm) \
+                else {"params": {}}
+            field_opt = deform.opt_state if deform \
+                else splats_lib.adam_init({})
+            t0 = time.time()
+            (params, stats, splat_opt, new_fp, new_fo, losses, l1s, aux,
+             rng) = sstep(params, stats, splat_opt, field_vars, field_opt,
+                          batches, lrs_k, flrs, rng)
+            if deform and fm:
+                deform.params = new_fp
+                deform.opt_state = new_fo
+            losses = np.asarray(losses)
+            l1s = np.asarray(l1s)
+            dt = (time.time() - t0) / scan_k
+            total_pts = int(np.asarray(stats.valid).sum())
+            for idx, j in enumerate(js):
+                times.append(dt)
+                ema_loss = 0.4 * float(losses[idx]) + 0.6 * ema_loss
+                if j % 10 == 0:
+                    log = {"train_loss_patches/total_loss": float(losses[idx]),
+                           "train_loss_patches/l1_loss": float(l1s[idx]),
+                           "iter_time": dt * 1000.0,
+                           "total_points": total_pts}
+                    for k2, v2 in aux.items():
+                        if k2 not in ("l1",):
+                            log[f"train_loss_patches/{k2}"] = \
+                                float(np.asarray(v2)[idx])
+                    writer.scalars(j, log)
+                if j % 100 == 0 and not quiet:
+                    print(f"iter {j}: loss {ema_loss:.5f} "
+                          f"({np.mean(times[-50:]) * 1000:.1f} ms/it)",
+                          flush=True)
+            dropped = int(np.asarray(aux.get("bin_dropped", 0)).sum())
+            if dropped > 0:
+                import dataclasses as dc
+                new_factor = max(pipe_cfg.dup_factor + 1,
+                                 int(pipe_cfg.dup_factor * 1.5))
+                print(f"iter {iteration}: {dropped} rasterizer instances "
+                      f"beyond dup budget in scan window — growing "
+                      f"dup_factor {pipe_cfg.dup_factor} -> {new_factor} "
+                      f"(re-jit)", flush=True)
+                pipe_cfg = dc.replace(pipe_cfg, dup_factor=new_factor)
+                step_cache.clear()
+                scanned_cache.clear()
+            skip = scan_k - 1
+            continue
+
+        batch = _next_batch(iteration)
+
+        field_mode = _field_mode_at(iteration)
+
+        lrs = _lrs_at(iteration)
         field_lr = deform.learning_rate(iteration) if deform else 0.0
 
         step = get_step(field_mode, active_sh if not field_mode else 0)
@@ -476,6 +600,11 @@ def main(argv=None):
                         help="ring-exchange Gaussian blocks over the model "
                              "axis instead of all_gathering attributes "
                              "(for splat counts too large to replicate)")
+    parser.add_argument("--scan_k", type=int, default=0,
+                        help="iterations per device dispatch via lax.scan "
+                             "(amortizes per-dispatch overhead; windows "
+                             "crossing densify/eval/save boundaries fall "
+                             "back to single steps). 0/1 = off")
     parser.add_argument("--coordinator_address", type=str, default="",
                         help="host:port of process 0 (multi-host pods)")
     parser.add_argument("--num_processes", type=int, default=1,
@@ -518,7 +647,7 @@ def main(argv=None):
              args.test_iterations, args.save_iterations, args=args,
              quiet=args.quiet, resume=args.resume,
              progress_callback=progress_callback, mesh=mesh,
-             ring=args.ring)
+             ring=args.ring, scan_k=args.scan_k)
     print("\nTraining complete.")
 
 

@@ -349,40 +349,49 @@ def make_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
 
 def make_scanned_train_step(net, opt_cfg, pipe_cfg, width, height, num_views,
                             field_mode: bool, n_frames: int, sh_degree: int,
-                            k: int, **kwargs):
+                            k: int, overwrite_loc: bool = False, **kwargs):
     """K train steps per dispatch via ``lax.scan`` (VERDICT r4 item 4).
 
     The axon relay costs ~ms per dispatch (CLAUDE.md pitfall 4); scanning k
     steps into ONE jitted call amortizes that and lets XLA overlap
     host-independent work across iterations. Intended for the stretches
     between host decision points — the reference only densifies every 100
-    iters (train.py:309) and evals every 1000, so k in 4-8 divides cleanly.
+    iters (train.py:309) and evals every 1000, so k in 4-8 divides cleanly
+    (``train.py --scan_k`` picks eligible windows automatically).
 
-    Takes ``batches``: the single-step batch pytree stacked along a leading
-    k axis. Returns per-step ``(losses, l1s)`` [k] instead of the full
-    ``StepOut`` (radii / screen-grad / means3d stay in the scan carry's
-    stats; materializing them k-fold would cost k*N HBM for diagnostics
-    nothing reads between host boundaries — ``overwrite_loc`` consumers
-    should keep the unscanned step)."""
+    Inputs stacked along a leading k axis: ``batches``, ``splat_lrs``
+    (pytree of [k] — the xyz LR changes every iteration), ``field_lrs``
+    [k]. ``overwrite_loc=True`` applies the reference's post-step
+    field-means -> _xyz copy (train.py:153-155) INSIDE the body, exactly
+    as the host loop does between unscanned steps.
+
+    Returns per-step ``(losses, l1s, aux)`` ([k] / [k] / dict of [k])
+    instead of the full ``StepOut`` — radii / screen-grad fold into the
+    carried stats; materializing them k-fold would cost k*N HBM for
+    diagnostics nothing reads between host boundaries."""
     body_step = make_train_step(
         net, opt_cfg, pipe_cfg, width, height, num_views, field_mode,
         n_frames, sh_degree, jit=False, **kwargs)
 
     def scanned(splat_params, splat_stats, splat_opt, field_vars, field_opt,
-                batches, splat_lrs, field_lr, rng):
+                batches, splat_lrs, field_lrs, rng):
         static = {key: v for key, v in field_vars.items() if key != "params"}
 
-        def body(carry, b):
+        def body(carry, xs):
             sp, st, so, fp, fo, key = carry
+            b, lrs, flr = xs
             sp, st, so, fp, fo, out, key = body_step(
-                sp, st, so, dict(static, params=fp), fo, b, splat_lrs,
-                field_lr, key)
-            return (sp, st, so, fp, fo, key), (out.loss, out.l1)
+                sp, st, so, dict(static, params=fp), fo, b, lrs, flr, key)
+            if overwrite_loc and out.means3d.shape[0] == sp.xyz.shape[0]:
+                import dataclasses as dc
+                sp = dc.replace(sp, xyz=out.means3d)
+            return (sp, st, so, fp, fo, key), (out.loss, out.l1,
+                                               dict(out.loss_dict))
 
         carry0 = (splat_params, splat_stats, splat_opt,
                   field_vars.get("params", {}), field_opt, rng)
-        (sp, st, so, fp, fo, rng), (losses, l1s) = jax.lax.scan(
-            body, carry0, batches, length=k)
-        return sp, st, so, fp, fo, losses, l1s, rng
+        (sp, st, so, fp, fo, rng), (losses, l1s, aux) = jax.lax.scan(
+            body, carry0, (batches, splat_lrs, field_lrs), length=k)
+        return sp, st, so, fp, fo, losses, l1s, aux, rng
 
     return jax.jit(scanned, donate_argnums=(0, 2, 4))

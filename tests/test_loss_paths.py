@@ -243,13 +243,16 @@ class TestScannedStep:
             fvars = dict(fvars, params=fp)
             seq_losses.append(float(out.loss))
 
-        # scanned
+        # scanned (stacked per-step lrs — identical values here)
         sp2, st2, so2 = cp(params), cp(stats), splats_lib.adam_init(params)
         sstep = train_lib.make_scanned_train_step(
             net, opt, pipe, w, h, num_views=1, field_mode=field_mode,
             n_frames=0, sh_degree=0, k=k)
-        sp2, st2, so2, fp2, fo2, losses, l1s, _ = sstep(
-            sp2, st2, so2, cp(fv), cp(fo), stacked, lrs, flr, key)
+        lrs_k = jax.tree.map(lambda x: jnp.broadcast_to(x, (k,)), lrs)
+        flr_k = jnp.broadcast_to(flr, (k,))
+        sp2, st2, so2, fp2, fo2, losses, l1s, aux, _ = sstep(
+            sp2, st2, so2, cp(fv), cp(fo), stacked, lrs_k, flr_k, key)
+        assert all(v.shape[0] == k for v in jax.tree.leaves(aux))
 
         np.testing.assert_allclose(
             np.asarray(losses), np.asarray(seq_losses), rtol=1e-6)

@@ -156,6 +156,47 @@ class TestStaticTraining:
         assert counts[-1] != counts[0]  # splat count changed
 
 
+class TestScanK:
+    def test_scan_k_matches_sequential(self, blender_scene, tmp_path):
+        """--scan_k N (k iterations per dispatch via lax.scan) must
+        reproduce the unscanned loop exactly: same batches (host RNG
+        seeded), same per-step LR schedule, same densify decisions —
+        windows crossing a densify boundary fall back to single steps."""
+        import random
+        from splatfields_tpu.train import training
+
+        def run(tag, scan_k):
+            random.seed(7)
+            args = base_args(blender_scene, str(tmp_path / tag),
+                             ["--is_static", "--iterations", "25",
+                              "--num_pts", "400"])
+            (model_cfg, pipe_cfg, hidden_cfg,
+             opt_cfg) = cfg_lib.extract_configs(args)
+            opt_cfg.iterations = 25
+            opt_cfg.densify_from_iter = 5
+            opt_cfg.densification_interval = 10
+            opt_cfg.densify_grad_threshold = 1e-8  # force a densify
+            # headroom so neither run hits the dup-budget growth path:
+            # sequential grows it mid-window (after 1 step), scanned only
+            # at the window boundary — a legitimate 3-step divergence that
+            # would confound the equality check
+            pipe_cfg.dup_factor = 16
+            params, stats, _, _ = training(
+                model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
+                test_iterations=[], save_iterations=[], args=args,
+                quiet=True, scan_k=scan_k)
+            return params, stats
+
+        p0, s0 = run("seq", 0)
+        p1, s1 = run("scan", 4)
+        assert int(np.asarray(s0.valid).sum()) == int(np.asarray(s1.valid).sum())
+        np.testing.assert_allclose(np.asarray(p1.xyz), np.asarray(p0.xyz),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(p1.opacity), np.asarray(p0.opacity),
+            rtol=1e-5, atol=1e-6)
+
+
 class TestFieldTraining:
     def test_field_mode_smoke(self, blender_scene, tmp_path):
         from splatfields_tpu.train import training
