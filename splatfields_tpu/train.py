@@ -85,7 +85,9 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
     warm-up / overwrite-activation boundary) — amortizes the relay's
     per-dispatch cost; bit-identical math (tests/test_loss_paths.py::
     TestScannedStep). Single-device only; disabled when a
-    progress_callback needs per-iteration state."""
+    progress_callback needs per-iteration state. The CLI defaults to
+    k=4 for runs >= 500 iterations (auto-off below: the scanned
+    program's ~4x compile time never amortizes on short runs)."""
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     is_static = model_cfg.is_static
@@ -600,11 +602,17 @@ def main(argv=None):
                         help="ring-exchange Gaussian blocks over the model "
                              "axis instead of all_gathering attributes "
                              "(for splat counts too large to replicate)")
-    parser.add_argument("--scan_k", type=int, default=0,
+    parser.add_argument("--scan_k", type=int, default=None,
                         help="iterations per device dispatch via lax.scan "
-                             "(amortizes per-dispatch overhead; windows "
-                             "crossing densify/eval/save boundaries fall "
-                             "back to single steps). 0/1 = off")
+                             "(amortizes the ~1.6 ms/step relay dispatch "
+                             "cost; windows crossing densify/eval/save/"
+                             "SH-bump/warm-up boundaries fall back to "
+                             "single steps — bit-identical math, "
+                             "tests/test_train_e2e.py::TestScanK). "
+                             "Default: 4 for runs >= 500 iterations, else "
+                             "0 (the scanned program's ~4x compile never "
+                             "amortizes on short runs). 0/1 = off; "
+                             "auto-off on a device mesh or with --profile")
     parser.add_argument("--coordinator_address", type=str, default="",
                         help="host:port of process 0 (multi-host pods)")
     parser.add_argument("--num_processes", type=int, default=1,
@@ -643,11 +651,13 @@ def main(argv=None):
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {trace_dir}")
 
+    scan_k = args.scan_k if args.scan_k is not None else (
+        4 if args.iterations >= 500 else 0)
     training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
              args.test_iterations, args.save_iterations, args=args,
              quiet=args.quiet, resume=args.resume,
              progress_callback=progress_callback, mesh=mesh,
-             ring=args.ring, scan_k=args.scan_k)
+             ring=args.ring, scan_k=scan_k)
     print("\nTraining complete.")
 
 
