@@ -146,18 +146,28 @@ class GeneralMLP(nn.Module):
         dims_in.append((self.hidden_features, self.out_features, 0))
 
         act = _out_act(self.act)
-        # bf16 INTER-LAYER activations (default ON; SPLATFIELDS_MLP_BF16=off
-        # reverts to f32): dots still accumulate f32 — ResFieldLinear
-        # follows x.dtype with preferred_element_type f32 — and params/head
-        # outputs stay f32. The MLP stack is activation-HBM bound at N=1e5
-        # (trace: ~5.7 ms of [N,128] f32 round-trips); halving the bytes
-        # measured 50.7 -> 47.9 ms on bench with the 300-iter PSNR gate
-        # GREEN (quality_gate.json: 21.6 vs 20.2 dB f32 baseline). The
+        # bf16 INTER-LAYER activations (SPLATFIELDS_MLP_BF16=on/off/auto;
+        # default auto = ON for static fields, OFF when n_frames > 0):
+        # dots still accumulate f32 — ResFieldLinear follows x.dtype with
+        # preferred_element_type f32 — and params/head outputs stay f32.
+        # The MLP stack is activation-HBM bound at N=1e5 (trace: ~5.7 ms
+        # of [N,128] f32 round-trips); halving the bytes measured
+        # 50.7 -> 47.9 ms on bench with the 300-iter PSNR gate GREEN
+        # (quality_gate.json: 21.6 vs 20.2 dB f32 baseline) and the
+        # 3000-iter static pair GREEN too (quality_longrun.json: 30.87 vs
+        # 27.82 dB). On the 4D path the same deviation REGRESSES quality
+        # (quality_longrun_4d.json: 18.67 bf16 vs 20.91 f32 dB @ 3000
+        # iters, owlii4d — error compounds through the per-frame ResField
+        # weight composition), so n_frames > 0 defaults to f32. The
         # documented numerics deviation from the all-f32 reference; the
         # CPU test suite pins f32 (tests/conftest.py) because the
         # weight-transplant parity tests define math parity at f32.
         import os
-        bf16 = os.environ.get("SPLATFIELDS_MLP_BF16", "on") == "on"
+        env = os.environ.get("SPLATFIELDS_MLP_BF16", "auto")
+        if env in ("on", "off"):
+            bf16 = env == "on"
+        else:
+            bf16 = self.n_frames == 0
         h = h_in.astype(jnp.bfloat16) if bf16 else h_in
         skip_in = h
         n_layers = len(dims_in)

@@ -202,6 +202,41 @@ class TestGeneralMLP:
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree.leaves(g))
 
+    def test_bf16_auto_default_gates_on_n_frames(self, monkeypatch):
+        """SPLATFIELDS_MLP_BF16=auto (the production default): bf16 for
+        static fields (n_frames == 0), f32 when n_frames > 0 — the 4D
+        path regresses 2.2 dB under bf16 (quality_longrun_4d.json)."""
+        monkeypatch.setenv("SPLATFIELDS_MLP_BF16", "auto")
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(32, 3).astype(np.float32))
+
+        # static: auto must match the explicit-on (bf16) output
+        m0 = GeneralMLP(in_features=3, out_features=3, hidden_features=32,
+                        num_hidden_layers=3, skips=(), multires=4,
+                        out_activation="none", act="leaky_relu",
+                        composition_rank=0, n_frames=0)
+        v0 = m0.init(jax.random.PRNGKey(5), x)
+        y_auto = m0.apply(v0, x)
+        monkeypatch.setenv("SPLATFIELDS_MLP_BF16", "on")
+        y_on = m0.apply(v0, x)
+        monkeypatch.setenv("SPLATFIELDS_MLP_BF16", "off")
+        y_off = m0.apply(v0, x)
+        np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_on))
+        assert float(jnp.abs(y_on - y_off).max()) > 0  # knob is live
+
+        # 4D (n_frames > 0): auto must match the explicit-off (f32) output
+        m1 = GeneralMLP(in_features=3, out_features=3, hidden_features=32,
+                        num_hidden_layers=3, skips=(), multires=4,
+                        out_activation="none", act="leaky_relu",
+                        composition_rank=2, n_frames=4)
+        fid = jnp.zeros((), jnp.int32)
+        v1 = m1.init(jax.random.PRNGKey(6), x, frame_id=fid)
+        monkeypatch.setenv("SPLATFIELDS_MLP_BF16", "auto")
+        z_auto = m1.apply(v1, x, frame_id=fid)
+        monkeypatch.setenv("SPLATFIELDS_MLP_BF16", "off")
+        z_off = m1.apply(v1, x, frame_id=fid)
+        np.testing.assert_array_equal(np.asarray(z_auto), np.asarray(z_off))
+
     def test_feat_concat(self):
         m = GeneralMLP(in_features=3 + 10, out_features=4, hidden_features=16,
                        num_hidden_layers=3, skips=(1,), multires=4,
