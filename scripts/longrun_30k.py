@@ -127,7 +127,16 @@ def main():
     ap.add_argument("--keep_run", action="store_true",
                     help="keep the model dir (default: delete after "
                          "summarizing, the artifact is the json)")
+    ap.add_argument("--scan_k", type=int, default=0,
+                    help="k-step scanned dispatch (the train CLI's "
+                         "production default is 4; 0 reproduces the "
+                         "round-5 unscanned artifact)")
+    ap.add_argument("--out", type=str, default="",
+                    help="artifact path (default quality_longrun_30k.json)")
     args = ap.parse_args()
+    global OUT_PATH
+    if args.out:
+        OUT_PATH = os.path.join(REPO, args.out)
 
     from splatfields_tpu import config as cfg_lib
     from splatfields_tpu.train import training
@@ -164,7 +173,8 @@ def main():
             params, stats, deform, best_psnr = training(
                 model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
                 test_iterations=test_iters, save_iterations=save_iters,
-                args=cli, quiet=False, resume=(attempt > 0))
+                args=cli, quiet=False, resume=(attempt > 0),
+                scan_k=args.scan_k)
             break
         except Exception as e:  # noqa: BLE001 — relay flakiness
             print(f"attempt {attempt}: training raised {e!r}", flush=True)
