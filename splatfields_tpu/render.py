@@ -15,7 +15,7 @@ import numpy as np
 from splatfields_tpu import config as cfg_lib
 from splatfields_tpu import metrics
 from splatfields_tpu.models.deform_model import DeformModel
-from splatfields_tpu.render_lib import render_camera
+from splatfields_tpu.render_lib import render_camera, render_cameras_batched
 from splatfields_tpu.scene import Scene
 from splatfields_tpu.utils.system import mkdir_p
 
@@ -29,7 +29,8 @@ def _to_png(img_chw: np.ndarray) -> np.ndarray:
 
 def render_set(model_path, name, iteration, views, params, stats, deform,
                pipe_cfg, bg, field_mode, n_frames, sh_degree,
-               render_depth=False, save_video=True, lpips_weights=None):
+               render_depth=False, save_video=True, lpips_weights=None,
+               render_batch=8):
     base = os.path.join(model_path, name, f"ours_{iteration}")
     render_path = os.path.join(base, "renders")
     gts_path = os.path.join(base, "gt")
@@ -42,10 +43,20 @@ def render_set(model_path, name, iteration, views, params, stats, deform,
     import cv2
     frames = []
     dropped_views = 0
-    for idx, view in enumerate(views):
-        out = render_camera(view, params, stats, deform, pipe_cfg, bg,
-                            field_mode=field_mode, n_frames=n_frames,
-                            sh_degree=sh_degree)
+    # batch frames per device dispatch when the set is resolution-uniform
+    # (render_lib.render_cameras_batched — amortizes the ~ms relay
+    # dispatch cost over render_batch frames; per-frame otherwise)
+    uniform = len({(v.image_width, v.image_height) for v in views}) == 1
+    if render_batch > 1 and uniform and len(views) > 1:
+        outs = render_cameras_batched(
+            views, params, stats, deform, pipe_cfg, bg,
+            field_mode=field_mode, n_frames=n_frames, sh_degree=sh_degree,
+            batch=render_batch)
+    else:
+        outs = (render_camera(v, params, stats, deform, pipe_cfg, bg,
+                              field_mode=field_mode, n_frames=n_frames,
+                              sh_degree=sh_degree) for v in views)
+    for idx, (view, out) in enumerate(zip(views, outs)):
         if int(out["n_dropped"]) > 0:
             dropped_views += 1
             if dropped_views <= 3:
@@ -87,7 +98,7 @@ def render_set(model_path, name, iteration, views, params, stats, deform,
 
 def render_sets(model_cfg, hidden_cfg, pipe_cfg, iteration,
                 skip_train=False, skip_test=False, skip_pred=True,
-                render_depth=False, lpips_weights=None):
+                render_depth=False, lpips_weights=None, render_batch=8):
     n_frames = model_cfg.load_time_step if model_cfg.load_time_step > 1 else 0
     hidden_cfg.n_frames = n_frames
     scene = Scene(model_cfg, load_iteration=iteration, shuffle=False)
@@ -108,17 +119,20 @@ def render_sets(model_cfg, hidden_cfg, pipe_cfg, iteration,
         results["train"] = render_set(
             model_cfg.model_path, "train", it, scene.get_train_cameras(),
             params, stats, deform, pipe_cfg, bg, not is_static, n_frames,
-            sh_degree, render_depth, lpips_weights=lpips_weights)
+            sh_degree, render_depth, lpips_weights=lpips_weights,
+            render_batch=render_batch)
     if not skip_test:
         results["test"] = render_set(
             model_cfg.model_path, "test", it, scene.get_test_cameras(),
             params, stats, deform, pipe_cfg, bg, not is_static, n_frames,
-            sh_degree, render_depth, lpips_weights=lpips_weights)
+            sh_degree, render_depth, lpips_weights=lpips_weights,
+            render_batch=render_batch)
     if not skip_pred:
         results["pred"] = render_set(
             model_cfg.model_path, "pred", it, scene.get_pred_cameras(),
             params, stats, deform, pipe_cfg, bg, not is_static, n_frames,
-            sh_degree, render_depth, lpips_weights=lpips_weights)
+            sh_degree, render_depth, lpips_weights=lpips_weights,
+            render_batch=render_batch)
     return results
 
 
@@ -135,6 +149,10 @@ def main(argv=None):
                         help="local VGG-LPIPS .npz (see ops/lpips.py); "
                              "defaults to $SPLATFIELDS_LPIPS or "
                              "weights/lpips_vgg.npz")
+    parser.add_argument("--render_batch", default=8, type=int,
+                        help="frames per device dispatch (lax.scan; "
+                             "amortizes relay dispatch cost for offline "
+                             "rendering). 0/1 = one dispatch per frame")
     args = cfg_lib.get_combined_args(parser, argv if argv is not None
                                      else sys.argv[1:])
     model_cfg, pipe_cfg, hidden_cfg, _ = cfg_lib.extract_configs(args)
@@ -143,7 +161,8 @@ def main(argv=None):
                 skip_train=args.skip_train, skip_test=args.skip_test,
                 skip_pred=not args.render_pred,
                 render_depth=args.render_depth,
-                lpips_weights=getattr(args, "lpips_weights", None))
+                lpips_weights=getattr(args, "lpips_weights", None),
+                render_batch=getattr(args, "render_batch", 8))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,79 @@ def _render_jit(params, valid, field_vars, viewmatrix, projmatrix, campos,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sh_degree", "field_mode",
+                     "n_frames", "tile_size", "tile_cap", "k_chunk",
+                     "dup_factor", "net"))
+def _render_scan_jit(params, valid, field_vars, viewmatrices, projmatrices,
+                     camposs, tanfovxs, tanfovys, bg, fids, *, net, width,
+                     height, sh_degree, field_mode, n_frames, tile_size,
+                     tile_cap, k_chunk, dup_factor):
+    """K frames per device dispatch via ``lax.scan`` — the serving-side
+    twin of train_lib.make_scanned_train_step: each relay dispatch costs
+    ~ms (CLAUDE.md pitfall 4), so offline rendering of a camera path pays
+    it once per K frames instead of per frame. Sequential (scan, not
+    vmap) so peak memory stays that of ONE frame's rasterization.
+    Leading axis of the camera operands is K; returns stacked
+    (color [K,3,H,W], depth [K,1,H,W], alpha [K,1,H,W], n_dropped [K])."""
+    def body(_, cam):
+        vm, pm, cp, tx, ty, fid = cam
+        out = _render_jit(
+            params, valid, field_vars, vm, pm, cp, tx, ty, bg, fid,
+            net=net, width=width, height=height, sh_degree=sh_degree,
+            field_mode=field_mode, n_frames=n_frames, tile_size=tile_size,
+            tile_cap=tile_cap, k_chunk=k_chunk, dup_factor=dup_factor)
+        return None, (out.color, out.depth, out.alpha, out.n_dropped)
+
+    _, outs = jax.lax.scan(
+        body, None,
+        (viewmatrices, projmatrices, camposs, tanfovxs, tanfovys, fids))
+    return outs
+
+
+def render_cameras_batched(cams, params, stats, deform, pipe_cfg, bg,
+                           field_mode=True, n_frames=0, sh_degree=0,
+                           batch=8):
+    """Render a list of host cameras, ``batch`` frames per device
+    dispatch. All cameras in ``cams`` must share (width, height) — the
+    caller groups by resolution (render.py does). The tail chunk is
+    padded by repeating the last camera and sliced off. Yields per-frame
+    dicts exactly like ``render_camera``."""
+    import numpy as np
+    net = deform.net if (deform is not None and field_mode) else None
+    field_vars = deform.variables if net is not None else {"params": {}}
+    k = max(1, batch)
+    for i0 in range(0, len(cams), k):
+        chunk = list(cams[i0:i0 + k])
+        n_real = len(chunk)
+        while len(chunk) < k:
+            chunk.append(chunk[-1])
+        stack = lambda f: jnp.stack([jnp.asarray(f(c)) for c in chunk])
+        colors, depths, alphas, dropped = _render_scan_jit(
+            params, stats.valid, field_vars,
+            stack(lambda c: c.world_view_transform),
+            stack(lambda c: c.full_proj_transform),
+            stack(lambda c: c.camera_center),
+            stack(lambda c: np.float32(c.tanfovx)),
+            stack(lambda c: np.float32(c.tanfovy)),
+            jnp.asarray(bg),
+            stack(lambda c: np.float32(c.fid)),
+            net=net, width=chunk[0].image_width,
+            height=chunk[0].image_height, sh_degree=sh_degree,
+            field_mode=net is not None, n_frames=n_frames,
+            tile_size=pipe_cfg.tile_size, tile_cap=pipe_cfg.tile_cap,
+            k_chunk=pipe_cfg.k_chunk,
+            dup_factor=getattr(pipe_cfg, "dup_factor", 8))
+        colors = np.asarray(colors)
+        depths = np.asarray(depths)
+        alphas = np.asarray(alphas)
+        dropped = np.asarray(dropped)
+        for j in range(n_real):
+            yield {"render": colors[j], "depth": depths[j],
+                   "opacity": alphas[j], "n_dropped": dropped[j]}
+
+
 def render_camera(cam, params, stats, deform, pipe_cfg, bg,
                   field_mode=True, n_frames=0, sh_degree=0):
     """Render one host camera; returns dict of numpy-backed arrays

@@ -409,3 +409,47 @@ class TestMiniCam:
                           field_mode=False)
         np.testing.assert_array_equal(np.asarray(a["render"]),
                                       np.asarray(b["render"]))
+
+
+class TestBatchedRender:
+    def test_batched_matches_per_frame(self):
+        """render_cameras_batched (K frames per dispatch via lax.scan —
+        the serving twin of the scanned train step) must reproduce
+        render_camera exactly, including the padded tail chunk."""
+        import jax.numpy as jnp
+        from splatfields_tpu import config as cfg_lib
+        from splatfields_tpu.data.cameras import Camera
+        from splatfields_tpu.models import splats as splats_lib
+        from splatfields_tpu.render_lib import (render_camera,
+                                                render_cameras_batched)
+        import __graft_entry__ as ge
+
+        s = ge._tiny_scene(n=64, width=24, height=24)
+        params, stats = splats_lib.create_from_pcd(
+            s["means"], np.abs(s["means"]), 0, capacity=64)
+        pipe_cfg = cfg_lib.PipelineConfig(tile_cap=64, k_chunk=32)
+        cams = []
+        for i in range(3):   # 3 cams, batch=2 -> exercises tail padding
+            th = 0.4 * i
+            c, sn = np.cos(th), np.sin(th)
+            R = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]], np.float32)
+            cams.append(Camera(
+                uid=i, colmap_id=i, R=R,
+                T=np.array([0.1 * i, 0, 4.0], np.float32),
+                FoVx=0.8, FoVy=0.8, image_name=f"c{i}",
+                image_width=24, image_height=24, fid=0.0))
+        bg = jnp.zeros(3, jnp.float32)
+        per_frame = [render_camera(c, params, stats, None, pipe_cfg, bg,
+                                   field_mode=False) for c in cams]
+        batched = list(render_cameras_batched(
+            cams, params, stats, None, pipe_cfg, bg, field_mode=False,
+            batch=2))
+        assert len(batched) == 3
+        for a, b in zip(per_frame, batched):
+            np.testing.assert_allclose(np.asarray(a["render"]),
+                                       np.asarray(b["render"]),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a["depth"]),
+                                       np.asarray(b["depth"]),
+                                       rtol=1e-6, atol=1e-6)
+            assert int(a["n_dropped"]) == int(b["n_dropped"])
