@@ -141,7 +141,10 @@ def main():
     from splatfields_tpu import config as cfg_lib
     from splatfields_tpu.train import training
 
-    scene_dir = os.path.join(REPO, ".longrun_scene")
+    # key the cached scene on its resolution: a bare existence check would
+    # silently reuse a stale scene after a --res change while the artifact
+    # records the new resolution (round-5 review finding)
+    scene_dir = os.path.join(REPO, f".longrun_scene_{args.res}")
     run_dir = os.path.join(REPO, ".longrun_run")
     if not os.path.exists(os.path.join(scene_dir, "transforms_test.json")):
         build_scene(scene_dir, args.res)

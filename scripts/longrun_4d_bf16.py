@@ -39,8 +39,13 @@ def main():
     args = ap.parse_args()
 
     legs = []
+    # Both knobs pinned EXPLICITLY: an ambient SPLATFIELDS_MLP_BF16 in the
+    # caller's shell must not leak into either leg, and since the auto
+    # default (models/mlp.py) resolves to f32 for n_frames>0, "{}" would
+    # now mean f32-vs-f32 (round-5 review finding)
     for knobs, note in (({"SPLATFIELDS_MLP_BF16": "off"}, "f32 activations"),
-                        ({}, "production default (bf16 activations on)")):
+                        ({"SPLATFIELDS_MLP_BF16": "on"},
+                         "bf16 activations (pre-round-5 default)")):
         rec = run_leg(args.iters, knobs)
         legs.append({"knobs": knobs, "note": note,
                      "psnr_db": rec["psnr_db"], "per_view": rec["per_view"],

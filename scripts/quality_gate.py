@@ -248,13 +248,17 @@ def main():
         psnrs.append(float(psnr_fn(img, jnp.clip(jnp.asarray(gts[v]), 0, 1))))
     psnr = float(np.mean(psnrs))
 
-    gate_path = GATE_PATH
+    # COMPOSE the artifact suffixes: "--variant ngp --num_views 4" must not
+    # clobber the single-view ngp gate with a non-comparable multi-view row
+    # (round-5 review finding)
+    suffix = ""
     if args.variant == "owlii4d":
-        gate_path = GATE_PATH.replace(".json", "_4d.json")
+        suffix += "_4d"
     elif args.variant == "ngp":
-        gate_path = GATE_PATH.replace(".json", "_ngp.json")
-    elif nv > 1:
-        gate_path = GATE_PATH.replace(".json", "_mv.json")
+        suffix += "_ngp"
+    if nv > 1:
+        suffix += "_mv"
+    gate_path = GATE_PATH.replace(".json", suffix + ".json")
     result = {
         "variant": args.variant,
         "num_views": nv,

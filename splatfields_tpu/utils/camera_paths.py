@@ -217,7 +217,11 @@ def rodrigues_mat_to_rot(R):
     theta = arccos((tr R - 1) / 2); omega = theta / (2 sin theta) *
     [R32-R23, R13-R31, R21-R12]. Near theta = 0 or pi (sin theta -> 0) the
     reference switches to its small-angle surrogate 0.5 / (1 - theta/6);
-    reproduced for parity."""
+    reproduced for parity. ONE documented deviation: trc2 is clipped into
+    [-1, 1] before arccos — when float error pushes (tr R - 1)/2 to
+    1 + eps on a near-identity rotation the reference returns a NaN
+    vector, this port returns the finite ~0 vector (the parity test's
+    QR-sampled matrices never hit that degenerate region)."""
     R = np.asarray(R)
     trc2 = (np.trace(R) - 1.0) / 2.0
     s = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])

@@ -27,14 +27,21 @@ def enable_persistent_compile_cache(cache_dir: str | None = None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def probe_backend(timeout_s: float = 240.0, retries: int = 1, probe=None):
+def probe_backend(timeout_s: float = 240.0, retries: int = 0, probe=None):
     """Bounded-timeout backend initialization probe.
 
     The axon TPU relay can be down at the environment level, in which case
     ``jax.devices()`` either raises ("Unable to initialize backend 'axon'")
     or HANGS indefinitely (observed round 4, BENCH_r04.json / VERDICT.md).
-    This runs the probe in a daemon thread with a deadline and one retry so
-    callers can emit a machine-readable diagnostic instead of hanging.
+    This runs the probe in a daemon thread with a deadline so callers can
+    emit a machine-readable diagnostic instead of hanging.
+
+    ``retries`` defaults to 0: on the HANG path a retry cannot succeed —
+    the first probe thread is stuck INSIDE xla_bridge backend init holding
+    its init lock, so a second ``jax.devices()`` just blocks on that lock
+    and times out identically, doubling outage-diagnosis latency for
+    nothing (round-5 review finding). Raise-path errors also don't
+    self-heal within seconds here.
 
     Returns ``(devices, None)`` on success or ``(None, reason)`` after
     ``retries`` extra attempts. ``SPLATFIELDS_FORCE_BACKEND_FAIL=1`` forces

@@ -534,7 +534,6 @@ class TestDensityParity:
         sdf = np.linspace(-2.0, 2.0, 41).astype(np.float32)
 
         ours = LaplaceDensity(beta_init=0.1, beta_min=1e-4)
-        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(sdf))
         variables = {"params": {"beta": jnp.asarray(0.37, jnp.float32)}}
 
         want = ref(torch.from_numpy(sdf)).detach().numpy()
