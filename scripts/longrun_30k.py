@@ -133,6 +133,11 @@ def main():
                          "round-5 unscanned artifact)")
     ap.add_argument("--out", type=str, default="",
                     help="artifact path (default quality_longrun_30k.json)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep the existing run dir and continue from its "
+                         "latest train-state checkpoint (recovery from a "
+                         "relay stall that hung — not raised in — a prior "
+                         "invocation)")
     args = ap.parse_args()
     global OUT_PATH
     if args.out:
@@ -148,7 +153,8 @@ def main():
     run_dir = os.path.join(REPO, ".longrun_run")
     if not os.path.exists(os.path.join(scene_dir, "transforms_test.json")):
         build_scene(scene_dir, args.res)
-    shutil.rmtree(run_dir, ignore_errors=True)
+    if not args.resume:
+        shutil.rmtree(run_dir, ignore_errors=True)
 
     # SplatFields3D protocol shape (run_blender.sh / run_dtu.sh): field
     # mode, VarTriPlane CNN, lambda_norm 0.01, white bg, default densify
@@ -176,7 +182,7 @@ def main():
             params, stats, deform, best_psnr = training(
                 model_cfg, hidden_cfg, opt_cfg, pipe_cfg,
                 test_iterations=test_iters, save_iterations=save_iters,
-                args=cli, quiet=False, resume=(attempt > 0),
+                args=cli, quiet=False, resume=(attempt > 0 or args.resume),
                 scan_k=args.scan_k)
             break
         except Exception as e:  # noqa: BLE001 — relay flakiness
