@@ -89,6 +89,11 @@ def main():
                          "(render_lib._render_jit) fwd-only, no losses/"
                          "grads/Adam; chained camera perturbation forces "
                          "sequential execution (CLAUDE.md pitfalls)")
+    ap.add_argument("--render_batch", type=int, default=0,
+                    help="with --render_only: render K frames per device "
+                         "dispatch via lax.scan (the render CLI's "
+                         "--render_batch offline path). 0 = per-frame "
+                         "dispatch (serving latency, the default row)")
     args = ap.parse_args()
 
     import jax
@@ -191,24 +196,46 @@ def main():
                          tf, tf, bg, fid)
             return jnp.full((3,), jnp.sum(out.color) * 1e-6, jnp.float32)
 
+        if args.render_batch > 1:
+            # offline-throughput row (render CLI --render_batch): K frames
+            # per dispatch; the carry chains frame-to-frame INSIDE the
+            # scan and dispatch-to-dispatch outside it, so every frame
+            # stays sequentially dependent (no dispatch-ahead mirage)
+            kb = args.render_batch
+
+            @jax.jit
+            def onek(carry):
+                def body(c, _):
+                    campos = camposj * (1.0 + 1e-5 * c)
+                    out = render(params, stats_valid, fv, w2vj, fullj,
+                                 campos, tf, tf, bg, fid)
+                    return jnp.full((3,), jnp.sum(out.color) * 1e-6,
+                                    jnp.float32), None
+                c, _ = jax.lax.scan(body, carry, None, length=kb)
+                return c
+
+            one = onek
         carry = one(jnp.zeros(3, jnp.float32))
         _ = float(carry[0])  # compile + materialize
         t0 = time.perf_counter()
         for _i in range(args.iters):
             carry = one(carry)
         _ = float(carry[0])
-        dt = (time.perf_counter() - t0) / args.iters
-        rays_s = width * height / dt
-        print(json.dumps({
+        frames = args.iters * max(1, args.render_batch)
+        dt = (time.perf_counter() - t0) / frames
+        rec = {
             "metric": "render_rays_per_sec",
-            "value": round(rays_s, 1),
+            "value": round(width * height / dt, 1),
             "unit": "rays/s/chip",
             "step_ms": round(dt * 1000, 2),
             "n_splats": n,
             "resolution": f"{width}x{height}",
             "variant": args.variant,
             "device": str(jax.devices()[0]),
-        }))
+        }
+        if args.render_batch > 1:
+            rec["render_batch"] = args.render_batch
+        print(json.dumps(rec))
         return
 
     if args.scan_k > 0:
