@@ -71,7 +71,7 @@ def build_view_batch(cams, num_views, bg, with_mask, with_depth):
 def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
              save_iterations, args=None, quiet=False,
              progress_callback=None, resume=False, mesh=None, ring=False,
-             scan_k=0):
+             scan_k=0, watchdog_min=0.0):
     """``mesh``: optional ('data', 'model') jax.sharding.Mesh — train with
     the sharded step (parallel/step.py) instead of the single-device one.
     Requires ``n_splats == -1`` (no subsampling) and ``num_views``
@@ -228,6 +228,14 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
                 return False  # overwrite_loc activation boundary
         return True
 
+    watchdog = None
+    if watchdog_min and watchdog_min > 0:
+        # relay-stall recovery (utils/system.StallWatchdog): a hung device
+        # call cannot be interrupted; exit 114 so a supervisor restarts
+        # with --resume from the latest checkpoint
+        from splatfields_tpu.utils.system import StallWatchdog
+        watchdog = StallWatchdog(watchdog_min).start()
+
     active_sh = 0
     ema_loss = 0.0
     best_psnr, best_iter = 0.0, 0
@@ -288,6 +296,8 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
             opt_cfg.opacity_lr, opt_cfg.scaling_lr, opt_cfg.rotation_lr)
 
     for iteration in range(start_iteration, opt_cfg.iterations + 1):
+        if watchdog is not None:
+            watchdog.beat()
         if enable_g_opt and iteration % 1000 == 0:
             active_sh = min(active_sh + 1, model_cfg.sh_degree)
         if skip:
@@ -491,6 +501,8 @@ def training(model_cfg, hidden_cfg, opt_cfg, pipe_cfg, test_iterations,
         if progress_callback:
             progress_callback(iteration, out_loss, params, stats)
 
+    if watchdog is not None:
+        watchdog.stop()
     total = time.time() - t_start
     writer.close()
     if not quiet:
@@ -613,6 +625,12 @@ def main(argv=None):
                              "0 (the scanned program's ~4x compile never "
                              "amortizes on short runs). 0/1 = off; "
                              "auto-off on a device mesh or with --profile")
+    parser.add_argument("--watchdog_min", type=float, default=0.0,
+                        help="exit 114 if the training loop makes no "
+                             "progress for this many minutes (relay-stall "
+                             "recovery; supervisors restart with --resume)."
+                             " Set ABOVE worst-case compile (~15 min for "
+                             "the scanned step); 0 = off")
     parser.add_argument("--coordinator_address", type=str, default="",
                         help="host:port of process 0 (multi-host pods)")
     parser.add_argument("--num_processes", type=int, default=1,
@@ -657,7 +675,8 @@ def main(argv=None):
              args.test_iterations, args.save_iterations, args=args,
              quiet=args.quiet, resume=args.resume,
              progress_callback=progress_callback, mesh=mesh,
-             ring=args.ring, scan_k=scan_k)
+             ring=args.ring, scan_k=scan_k,
+             watchdog_min=args.watchdog_min)
     print("\nTraining complete.")
 
 

@@ -27,6 +27,67 @@ def enable_persistent_compile_cache(cache_dir: str | None = None):
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+class StallWatchdog:
+    """Detect a wedged training process and exit deterministically.
+
+    The axon relay can transiently HANG a device call for 20-30+ minutes
+    (observed twice round 5: a render CLI dispatch and a mid-training
+    recompile at longrun iter 19.2k — CPU time frozen, no exception ever
+    raised). A blocked-in-C jax call cannot be interrupted from Python, so
+    recovery means: exit the process with a distinctive code and let a
+    supervisor restart with ``--resume`` (checkpoints make that lossless
+    up to the last save). ``beat()`` is called once per host-loop
+    iteration; a daemon thread exits the process via ``exit_fn`` if no
+    beat arrives within ``timeout_min`` minutes. Compiles of the big
+    scanned step can legitimately take ~15 min through the relay — set
+    the timeout ABOVE worst-case compile (default 30 min).
+
+    ``clock``/``exit_fn`` are injectable for tests.
+    """
+
+    EXIT_CODE = 114  # distinctive: supervisors restart with --resume
+
+    def __init__(self, timeout_min: float, clock=None, exit_fn=None,
+                 poll_s: float = 10.0):
+        import threading
+        import time as _time
+        self._clock = clock or _time.monotonic
+        self._exit = exit_fn or (lambda: os._exit(self.EXIT_CODE))
+        self._timeout_s = timeout_min * 60.0
+        self._poll_s = poll_s
+        self._last = self._clock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def beat(self):
+        self._last = self._clock()
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        import json
+        import sys
+        while not self._stop.wait(self._poll_s):
+            idle = self._clock() - self._last
+            if idle > self._timeout_s:
+                print(json.dumps({
+                    "error": "training_stalled",
+                    "environmental": True,
+                    "idle_s": round(idle, 1),
+                    "detail": "no training-loop progress; likely a hung "
+                              "relay call (device dispatch or remote "
+                              "compile). Restart with --resume.",
+                }), flush=True)
+                sys.stdout.flush()
+                self._exit()
+                return
+
+
 def probe_backend(timeout_s: float = 240.0, retries: int = 0, probe=None):
     """Bounded-timeout backend initialization probe.
 

@@ -73,3 +73,54 @@ def test_bench_emits_machine_readable_outage():
     assert rec["error"] == "tpu_backend_unavailable"
     assert rec["environmental"] is True
     assert rec["value"] is None
+
+
+class TestStallWatchdog:
+    def test_fires_after_idle_and_not_while_beating(self):
+        """StallWatchdog (relay-stall recovery): exit_fn fires only after
+        timeout_min of no beat(); beats reset the deadline. Injected clock
+        + exit_fn — no real threads needed for the decision logic."""
+        from splatfields_tpu.utils.system import StallWatchdog
+
+        t = {"now": 0.0}
+        fired = []
+        wd = StallWatchdog(timeout_min=1.0, clock=lambda: t["now"],
+                           exit_fn=lambda: fired.append(True),
+                           poll_s=0.01)
+        # drive _run's decision inline: simulate polls via internals
+        wd._stop.set()  # never start the real thread loop
+        # not idle yet
+        t["now"] = 30.0
+        assert (t["now"] - wd._last) < wd._timeout_s
+        # beat resets
+        wd.beat()
+        t["now"] = 80.0
+        assert (t["now"] - wd._last) < wd._timeout_s
+        # exceed timeout since last beat -> one manual poll fires exit_fn
+        t["now"] = 30.0 + 61.0 + 30.0  # 61s past the beat at t=30
+        idle = t["now"] - wd._last
+        assert idle > wd._timeout_s
+        # run one iteration of the loop body logic via the real thread:
+        wd2 = StallWatchdog(timeout_min=1.0 / 600.0,  # 0.1 s
+                            clock=None,
+                            exit_fn=lambda: fired.append(True),
+                            poll_s=0.02).start()
+        import time as _t
+        _t.sleep(0.3)
+        wd2.stop()
+        assert fired, "watchdog never fired after idle > timeout"
+
+    def test_beating_prevents_fire(self):
+        from splatfields_tpu.utils.system import StallWatchdog
+        import time as _t
+
+        fired = []
+        wd = StallWatchdog(timeout_min=1.0 / 300.0,  # 0.2 s
+                           exit_fn=lambda: fired.append(True),
+                           poll_s=0.02).start()
+        for _ in range(10):
+            wd.beat()
+            _t.sleep(0.05)
+        wd.stop()
+        _t.sleep(0.05)
+        assert not fired
