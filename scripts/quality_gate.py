@@ -82,8 +82,11 @@ def main():
     ap.add_argument("--num_views", type=int, default=1,
                     help="views per train step (the reference's "
                          "--all_training --num_views protocol, train.py:"
-                         "157-163) — the 2.52x bench headline shape; gate "
-                         "artifact quality_gate_mv.json when > 1")
+                         "157-163) — the multi-view bench headline shape; "
+                         "gate artifact gains an _mv suffix when > 1. "
+                         "With --variant owlii4d the scene becomes "
+                         "n_frames x num_views same-fid view groups "
+                         "(run_owlii.sh trains 5/frame)")
     ap.add_argument("--variant", choices=("field", "owlii4d", "ngp"),
                     default="field",
                     help="owlii4d: dynamic scene (rigidly rotating cloud "
@@ -122,12 +125,35 @@ def main():
     opac = np.full((n_true,), 0.8, np.float32)
     bg = np.zeros(3, np.float32)
 
-    n_views = 10
+    nv = max(1, args.num_views)
     # owlii4d: view v observes the scene at time t_v (a rigid rotation +
     # bob of the same cloud) — a dynamic reconstruction problem the static
     # field cannot fit, exercising ResField deltas + flow end-to-end.
-    fids = [(v % n_frames) / (n_frames - 1) if n_frames else 0.0
-            for v in range(n_views)]
+    if n_frames and nv > 1:
+        # the reference's Owlii protocol shape: nv same-fid views per
+        # FRAME (train.py:157-163 batches by_fid groups; run_owlii.sh
+        # uses 5) + one held-out azimuth at the first and last frame
+        cam_specs = []                      # (az, el, fid, split)
+        for f in range(n_frames):
+            t = f / (n_frames - 1)
+            for j in range(nv):
+                i = f * nv + j
+                cam_specs.append((2 * math.pi * i / (n_frames * nv),
+                                  0.35 * math.sin(2.0 * i), t, "train"))
+        for f in (0, n_frames - 1):
+            cam_specs.append((1.7, -0.25, f / (n_frames - 1), "test"))
+    else:
+        cam_specs = []
+        for v in range(10):
+            fid = (v % n_frames) / (n_frames - 1) if n_frames else 0.0
+            if on_tpu:
+                split = "train" if v < 8 else "test"
+            else:
+                split = "train" if v < 2 else ("test" if v == 2 else "skip")
+            cam_specs.append((2 * math.pi * v / 10,
+                              0.35 * math.sin(2.0 * v), fid, split))
+    n_views = len(cam_specs)
+    fids = [s[2] for s in cam_specs]
 
     def pts_at(t):
         if not n_frames:
@@ -140,21 +166,19 @@ def main():
         return pts @ R.T + off
 
     cams, gts = [], []
-    for v in range(n_views):
-        az = 2 * math.pi * v / n_views
-        el = 0.35 * math.sin(2.0 * v)
+    for v, (az, el, fid, _split) in enumerate(cam_specs):
         w2v, full, campos = _orbit_camera(az, el, 4.0, fov, width, height)
         cams.append((w2v, full, campos))
         out = rasterize(
-            jnp.asarray(pts_at(fids[v])), jnp.asarray(scales),
+            jnp.asarray(pts_at(fid)), jnp.asarray(scales),
             jnp.asarray(rots),
             jnp.asarray(opac), jnp.asarray(w2v), jnp.asarray(full),
             jnp.asarray(campos), jnp.asarray(bg), tanfov, tanfov,
             width, height, colors_precomp=jnp.asarray(cols),
             blend_impl="jax")   # GT independent of the Pallas path
         gts.append(np.asarray(out.color))
-    train_v = list(range(8)) if on_tpu else [0, 1]
-    test_v = [8, 9] if on_tpu else [2]
+    train_v = [v for v, s in enumerate(cam_specs) if s[3] == "train"]
+    test_v = [v for v, s in enumerate(cam_specs) if s[3] == "test"]
 
     # --- trainee: bench config (field mode) from a random cloud ---
     pts0 = rng.uniform(-0.8, 0.8, (n_splats, 3)).astype(np.float32)
@@ -178,7 +202,6 @@ def main():
     opt_cfg = cfg_lib.OptimizationConfig(lambda_mask=0.0, lambda_norm=0.01)
     pipe_cfg = cfg_lib.PipelineConfig(
         tile_size=16, tile_cap=1024 if on_tpu else 256, k_chunk=128)
-    nv = max(1, args.num_views)
     step = train_lib.make_train_step(
         deform.net, opt_cfg, pipe_cfg, width, height, num_views=nv,
         field_mode=True, n_frames=n_frames, sh_degree=0)
@@ -208,10 +231,12 @@ def main():
             "bg": jnp.asarray(bg),
         }
 
-    if nv > 1:
-        if n_frames:
-            raise SystemExit("--num_views > 1 gate supports the static "
-                             "scene only (same-fid view groups)")
+    if nv > 1 and n_frames:
+        # one group per FRAME (all nv cameras of that frame share its fid)
+        groups = [train_v[f * nv:(f + 1) * nv] for f in range(n_frames)]
+        batches = {g: make_batch(views) for g, views in enumerate(groups)}
+        sel = lambda it: it % len(groups)
+    elif nv > 1:
         # rotate through view groups so all 8 train views are seen
         groups = [[train_v[(g + j) % len(train_v)] for j in range(nv)]
                   for g in range(len(train_v))]
